@@ -1,0 +1,282 @@
+"""Config system.
+
+Reproduces the key names, defaults, and YAML/CLI override semantics of the
+reference config (see /root/reference/lib/model/config.py:19-290 for the key
+inventory and :325-387 for the merge rules) so that the reference's
+``experiments/cfgs/*.yml`` files and ``--set KEY.SUBKEY value`` overrides load
+identically.
+
+Design difference vs the reference: the reference mutates a global easydict
+that the TF graph reads at build time.  Here the global ``cfg`` is still the
+single source of truth for CLIs and YAML merging (same ergonomics), but the
+jitted model programs never read it at trace time — model constructors
+snapshot the relevant values into static module attributes, keeping the XLA
+programs pure functions of (params, batch).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from ast import literal_eval
+
+import numpy as np
+
+__all__ = [
+    "AttrDict", "cfg", "cfg_from_file", "cfg_from_list", "reset_cfg",
+    "get_output_dir", "get_output_tb_dir",
+]
+
+
+class AttrDict(dict):
+    """dict with attribute access (stand-in for easydict, which is not vendored)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __deepcopy__(self, memo):
+        import copy
+        out = AttrDict()
+        for k, v in self.items():
+            out[k] = copy.deepcopy(v, memo)
+        return out
+
+
+def _default_cfg() -> AttrDict:
+    """Build the default config tree.
+
+    Key-for-key parity with the reference defaults
+    (/root/reference/lib/model/config.py:19-290).
+    """
+    C = AttrDict()
+
+    # Training options
+    C.TRAIN = AttrDict()
+    C.TRAIN.LEARNING_RATE = 0.001
+    C.TRAIN.MOMENTUM = 0.9
+    C.TRAIN.WEIGHT_DECAY = 0.0001
+    C.TRAIN.GAMMA = 0.1
+    C.TRAIN.STEPSIZE = [30000]
+    C.TRAIN.DISPLAY = 10
+    C.TRAIN.DOUBLE_BIAS = True
+    C.TRAIN.TRUNCATED = False
+    C.TRAIN.BIAS_DECAY = False
+    C.TRAIN.USE_GT = False
+    C.TRAIN.ASPECT_GROUPING = False
+    C.TRAIN.SNAPSHOT_KEPT = 3
+    C.TRAIN.SUMMARY_INTERVAL = 180
+    C.TRAIN.SCALES = (600,)
+    C.TRAIN.MAX_SIZE = 1000
+    C.TRAIN.IMS_PER_BATCH = 1
+    C.TRAIN.BATCH_SIZE = 128
+    C.TRAIN.FG_FRACTION = 0.25
+    C.TRAIN.FG_THRESH = 0.5
+    C.TRAIN.BG_THRESH_HI = 0.5
+    C.TRAIN.BG_THRESH_LO = 0.1
+    C.TRAIN.USE_FLIPPED = True
+    C.TRAIN.BBOX_REG = True
+    C.TRAIN.BBOX_THRESH = 0.5
+    C.TRAIN.SNAPSHOT_ITERS = 5000
+    C.TRAIN.SNAPSHOT_PREFIX = 'res101_faster_rcnn'
+    C.TRAIN.BBOX_NORMALIZE_TARGETS = True
+    C.TRAIN.BBOX_INSIDE_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    C.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED = True
+    C.TRAIN.BBOX_NORMALIZE_MEANS = (0.0, 0.0, 0.0, 0.0)
+    C.TRAIN.BBOX_NORMALIZE_STDS = (0.1, 0.1, 0.2, 0.2)
+    C.TRAIN.PROPOSAL_METHOD = 'gt'
+    C.TRAIN.HAS_RPN = True
+    C.TRAIN.RPN_POSITIVE_OVERLAP = 0.7
+    C.TRAIN.RPN_NEGATIVE_OVERLAP = 0.3
+    C.TRAIN.RPN_CLOBBER_POSITIVES = False
+    C.TRAIN.RPN_FG_FRACTION = 0.5
+    C.TRAIN.RPN_BATCHSIZE = 256
+    C.TRAIN.RPN_NMS_THRESH = 0.7
+    C.TRAIN.RPN_PRE_NMS_TOP_N = 12000
+    C.TRAIN.RPN_POST_NMS_TOP_N = 2000
+    C.TRAIN.RPN_BBOX_INSIDE_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    C.TRAIN.RPN_POSITIVE_WEIGHT = -1.0
+    C.TRAIN.USE_ALL_GT = True
+
+    # Testing options
+    C.TEST = AttrDict()
+    C.TEST.SCALES = (600,)
+    C.TEST.MAX_SIZE = 1000
+    C.TEST.NMS = 0.3
+    C.TEST.SVM = False
+    C.TEST.BBOX_REG = True
+    C.TEST.HAS_RPN = False
+    C.TEST.PROPOSAL_METHOD = 'gt'
+    C.TEST.RPN_NMS_THRESH = 0.7
+    C.TEST.RPN_PRE_NMS_TOP_N = 6000
+    C.TEST.RPN_POST_NMS_TOP_N = 300
+    C.TEST.MODE = 'nms'
+    C.TEST.RPN_TOP_N = 5000
+
+    # ResNet options
+    C.RESNET = AttrDict()
+    C.RESNET.MAX_POOL = False
+    C.RESNET.FIXED_BLOCKS = 1
+
+    # MobileNet options
+    C.MOBILENET = AttrDict()
+    C.MOBILENET.REGU_DEPTH = False
+    C.MOBILENET.FIXED_LAYERS = 5
+    C.MOBILENET.WEIGHT_DECAY = 0.00004
+    C.MOBILENET.DEPTH_MULTIPLIER = 1.
+
+    # MISC
+    C.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])
+    C.RNG_SEED = 3
+    C.ROOT_DIR = osp.abspath(osp.join(osp.dirname(__file__), '..'))
+    C.DATA_DIR = osp.abspath(osp.join(C.ROOT_DIR, 'data'))
+    C.MATLAB = 'matlab'
+    C.EXP_DIR = 'default'
+    C.USE_GPU_NMS = True     # accepted for YAML compat; NMS runs on-device (TPU)
+    C.USE_E2E_TF = True      # accepted for YAML compat; everything is in-graph here
+    C.POOLING_MODE = 'crop'
+    C.POOLING_SIZE = 7
+    C.ANCHOR_SCALES = [8, 16, 32]
+    C.ANCHOR_RATIOS = [0.5, 1, 2]
+    C.RPN_CHANNELS = 512
+
+    # --- TPU-native additions (no reference counterpart) ---
+    C.TPU = AttrDict()
+    # Padded input canvas (H, W). Images are resized per SCALES/MAX_SIZE and
+    # zero-padded to this static shape so the program compiles once.
+    # 0 means "derive from MAX_SIZE rounded up to a multiple of 32".
+    C.TPU.CANVAS_SIZE = [0, 0]
+    # Max ground-truth boxes per image after padding (mask-carried).
+    C.TPU.MAX_GT = 100
+    # Cap on boxes entering RPN NMS (sorted by score). The reference E2E path
+    # has no pre-NMS cap (lib/layer_utils/proposal_layer.py:72); a static cap
+    # is required for fixed shapes. 0 = use RPN_PRE_NMS_TOP_N.
+    C.TPU.RPN_NMS_CAP = 0
+    # Images per device in a batch (data parallel).
+    C.TPU.IMS_PER_DEVICE = 1
+    # Compute dtype for conv/matmul ('bfloat16' or 'float32').
+    C.TPU.COMPUTE_DTYPE = 'float32'
+    # Max detections per image in the fixed-shape output (reference
+    # max_per_image, lib/model/test.py:145).
+    C.TPU.MAX_PER_IMAGE = 100
+    # Use the Pallas NMS kernel when on TPU (fallback: pure-jnp block NMS).
+    C.TPU.USE_PALLAS_NMS = True
+
+    return C
+
+
+cfg = _default_cfg()
+
+
+def reset_cfg():
+    """Restore cfg to defaults in place (used by tests)."""
+    fresh = _default_cfg()
+    cfg.clear()
+    cfg.update(fresh)
+
+
+def _merge_a_into_b(a, b, path=""):
+    """Recursive type-checked merge of dict a into AttrDict b.
+
+    Same semantics as the reference merge (config.py:325-355): unknown keys
+    raise KeyError; type mismatches raise ValueError, except values merged
+    into an ndarray are coerced to that ndarray's dtype.
+    """
+    if not isinstance(a, dict):
+        return
+    for k, v in a.items():
+        if k not in b:
+            raise KeyError('{} is not a valid config key'.format(k))
+        old_type = type(b[k])
+        if old_type is not type(v):
+            if isinstance(b[k], np.ndarray):
+                v = np.array(v, dtype=b[k].dtype)
+            elif isinstance(b[k], tuple) and isinstance(v, list):
+                # YAML has no tuple literal; the reference's own yml files use
+                # lists for tuple-typed keys (e.g. res101-lg.yml SCALES)
+                v = tuple(v)
+            elif isinstance(b[k], float) and isinstance(v, int):
+                v = float(v)
+            elif isinstance(b[k], dict) and isinstance(v, dict):
+                pass  # plain-dict vs AttrDict: recurse below
+            else:
+                raise ValueError(
+                    'Type mismatch ({} vs. {}) for config key: {}{}'.format(
+                        type(b[k]), type(v), path, k))
+        if isinstance(v, dict) and isinstance(b[k], dict):
+            try:
+                _merge_a_into_b(v, b[k], path + k + ".")
+            except Exception:
+                print('Error under config key: {}{}'.format(path, k))
+                raise
+        else:
+            b[k] = v
+
+
+def cfg_from_file(filename):
+    """Load a YAML config file and merge it into the default options."""
+    import yaml
+    with open(filename, 'r') as f:
+        yaml_cfg = yaml.safe_load(f)
+    if yaml_cfg is not None:
+        _merge_a_into_b(yaml_cfg, cfg)
+
+
+def cfg_from_list(cfg_list):
+    """Set config keys via a flat ['KEY.SUBKEY', 'value', ...] list."""
+    assert len(cfg_list) % 2 == 0
+    for k, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        key_list = k.split('.')
+        d = cfg
+        for subkey in key_list[:-1]:
+            assert subkey in d, 'invalid config key {}'.format(k)
+            d = d[subkey]
+        subkey = key_list[-1]
+        assert subkey in d, 'invalid config key {}'.format(k)
+        try:
+            value = literal_eval(v)
+        except Exception:
+            value = v
+        assert type(value) == type(d[subkey]), (
+            'type {} does not match original type {}'.format(
+                type(value), type(d[subkey])))
+        d[subkey] = value
+
+
+def get_output_dir(imdb, weights_filename):
+    """Canonical experiment-artifact directory (created on demand)."""
+    outdir = osp.abspath(osp.join(cfg.ROOT_DIR, 'output', cfg.EXP_DIR, imdb.name))
+    if weights_filename is None:
+        weights_filename = 'default'
+    outdir = osp.join(outdir, weights_filename)
+    os.makedirs(outdir, exist_ok=True)
+    return outdir
+
+
+def get_output_tb_dir(imdb, weights_filename):
+    """Canonical metrics/summary directory (created on demand)."""
+    outdir = osp.abspath(osp.join(cfg.ROOT_DIR, 'tensorboard', cfg.EXP_DIR, imdb.name))
+    if weights_filename is None:
+        weights_filename = 'default'
+    outdir = osp.join(outdir, weights_filename)
+    os.makedirs(outdir, exist_ok=True)
+    return outdir
+
+
+def canvas_hw(phase_cfg) -> tuple:
+    """Static (H, W) input canvas for a train/test phase.
+
+    Derived from MAX_SIZE rounded up to a multiple of 32 unless explicitly
+    set via TPU.CANVAS_SIZE. A multiple of 32 keeps every backbone stage's
+    spatial dims integral and the stride-16 feature map exactly H/16 x W/16.
+    """
+    h, w = cfg.TPU.CANVAS_SIZE
+    if h and w:
+        return int(h), int(w)
+    m = int(np.ceil(phase_cfg.MAX_SIZE / 32.0) * 32)
+    return m, m
