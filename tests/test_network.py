@@ -1,0 +1,175 @@
+"""Full-detector forward: shapes, modes, freeze rules, and loss wiring
+(SURVEY.md stages 6-7, 9). Small canvases and anchor scales keep CPU compile
+time reasonable; semantics are scale-independent."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_faster_rcnn_tpu.config import cfg
+from tf_faster_rcnn_tpu.engine.losses import (detection_losses,
+                                              weight_decay_loss)
+from tf_faster_rcnn_tpu.models.network import (FasterRCNN, spec_from_cfg,
+                                               trainable_mask)
+
+B, H, W = 1, 128, 128
+
+
+def _small(spec, **kw):
+    base = dict(anchor_scales=(2, 4), rpn_pre_nms_top_n=512,
+                rpn_post_nms_top_n=32)
+    base.update(kw)
+    return dataclasses.replace(spec, **base)
+
+
+def _inputs(rng):
+    img = rng.randn(B, H, W, 3).astype(np.float32)
+    im_info = np.array([[120.0, 124.0, 1.0]], np.float32)
+    gt = np.zeros((B, 8, 5), np.float32)
+    gt[0, 0] = [10, 10, 60, 80, 5]
+    gt[0, 1] = [30, 20, 90, 100, 12]
+    gtv = np.zeros((B, 8), bool)
+    gtv[0, :2] = True
+    return img, im_info, gt, gtv
+
+
+@pytest.mark.parametrize("backbone", ["vgg16", "res50", "res101", "mobile"])
+def test_forward_test_mode_shapes(rng, backbone):
+    img, im_info, _, _ = _inputs(rng)
+    spec = _small(spec_from_cfg(backbone, 21, "TEST"))
+    m = FasterRCNN(spec)
+    params = m.init(jax.random.PRNGKey(0), img, im_info)
+    out = m.apply(params, img, im_info)
+    r = spec.rpn_post_nms_top_n
+    assert out["rois"].shape == (B, r, 4)
+    assert out["roi_valid"].shape == (B, r)
+    assert out["cls_prob"].shape == (B, r, 21)
+    assert out["bbox_pred"].shape == (B, r, 84)
+    assert int(out["roi_valid"].sum()) > 0
+    np.testing.assert_allclose(np.asarray(out["cls_prob"]).sum(-1), 1.0,
+                               rtol=1e-4)
+
+
+def test_forward_top_mode(rng):
+    """TEST.MODE='top': plain top-N proposals, no NMS
+    (proposal_top_layer.py parity)."""
+    img, im_info, _, _ = _inputs(rng)
+    spec = _small(spec_from_cfg("vgg16", 21, "TEST"), test_mode="top",
+                  rpn_top_n=40)
+    m = FasterRCNN(spec)
+    params = m.init(jax.random.PRNGKey(0), img, im_info)
+    out = m.apply(params, img, im_info)
+    assert out["rois"].shape == (B, 40, 4)
+    assert bool(out["roi_valid"].all())
+    s = np.asarray(out["roi_scores"][0])
+    assert np.all(np.diff(s) <= 0)  # sorted descending
+
+
+def test_train_mode_losses_and_grads(rng):
+    img, im_info, gt, gtv = _inputs(rng)
+    spec = _small(spec_from_cfg("vgg16", 21, "TRAIN"),
+                  rpn_post_nms_top_n=64, roi_batch_size=32, rpn_batchsize=64)
+    m = FasterRCNN(spec)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, img, im_info, gt, gtv)
+
+    @jax.jit
+    def loss_fn(p, key):
+        out = m.apply(p, img, im_info, gt, gtv,
+                      rngs={"sampling": key,
+                            "dropout": jax.random.fold_in(key, 7)})
+        losses = detection_losses(out, spec)
+        return losses["total_loss"], losses
+
+    (total, losses), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, jax.random.PRNGKey(3))
+    for k in ("rpn_cross_entropy", "rpn_loss_box", "cross_entropy",
+              "loss_box"):
+        assert np.isfinite(float(losses[k])), k
+    # with scale-2/4 anchors inside the image, RPN losses must be active
+    assert float(losses["rpn_cross_entropy"]) > 0
+    assert float(losses["cross_entropy"]) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    gnorm = sum(float(jnp.sum(g * g)) for g in leaves)
+    assert gnorm > 0
+
+
+def test_trainable_masks():
+    img = np.zeros((B, H, W, 3), np.float32)
+    im_info = np.array([[128.0, 128.0, 1.0]], np.float32)
+    # vgg16: conv1/conv2 frozen
+    spec = _small(spec_from_cfg("vgg16", 21, "TEST"))
+    params = FasterRCNN(spec).init(jax.random.PRNGKey(0), img, im_info)["params"]
+    mask = trainable_mask(params, spec)
+    assert mask["head"]["conv1_1"]["kernel"] is False
+    assert mask["head"]["conv3_1"]["kernel"] is True
+    assert mask["rpn_conv"]["kernel"] is True
+
+    # resnet: BN frozen everywhere, stem + block1 frozen (FIXED_BLOCKS=1)
+    spec = _small(spec_from_cfg("res50", 21, "TEST"))
+    params = FasterRCNN(spec).init(jax.random.PRNGKey(0), img, im_info)["params"]
+    mask = trainable_mask(params, spec)
+    assert mask["head"]["conv1"]["kernel"] is False
+    assert mask["head"]["block1"]["unit_1"]["conv1"]["conv"]["kernel"] is False
+    assert mask["head"]["block2"]["unit_1"]["conv1"]["conv"]["kernel"] is True
+    assert mask["head"]["block2"]["unit_1"]["conv1"]["bn"]["scale"] is False
+    assert mask["tail"]["block4"]["unit_1"]["conv1"]["conv"]["kernel"] is True
+    assert mask["tail"]["block4"]["unit_1"]["conv1"]["bn"]["mean"] is False
+
+    # resnet FIXED_BLOCKS=3 freezes blocks 1-3
+    cfg.RESNET.FIXED_BLOCKS = 3
+    mask = trainable_mask(params, spec)
+    assert mask["head"]["block3"]["unit_1"]["conv1"]["conv"]["kernel"] is False
+    assert mask["tail"]["block4"]["unit_1"]["conv1"]["conv"]["kernel"] is True
+
+    # mobilenet: first FIXED_LAYERS=5 layers frozen, BN frozen
+    spec = _small(spec_from_cfg("mobile", 21, "TEST"))
+    params = FasterRCNN(spec).init(jax.random.PRNGKey(0), img, im_info)["params"]
+    mask = trainable_mask(params, spec)
+    assert mask["head"]["base"]["conv2d_0"]["kernel"] is False
+    assert mask["head"]["base"]["conv2d_4"]["pointwise"]["kernel"] is False
+    assert mask["head"]["base"]["conv2d_5"]["pointwise"]["kernel"] is True
+    assert mask["head"]["base"]["conv2d_5"]["pointwise_bn"]["scale"] is False
+    assert mask["tail"]["base"]["conv2d_12"]["pointwise"]["kernel"] is True
+
+
+def test_weight_decay_loss_excludes_bn_and_bias():
+    img = np.zeros((B, H, W, 3), np.float32)
+    im_info = np.array([[128.0, 128.0, 1.0]], np.float32)
+    spec = _small(spec_from_cfg("res50", 21, "TEST"))
+    params = FasterRCNN(spec).init(jax.random.PRNGKey(0), img, im_info)["params"]
+    wd = weight_decay_loss(params, 1e-4, 4e-5, "res50")
+    assert float(wd) > 0
+    # doubling only BN params leaves the loss unchanged
+    import jax.tree_util as jtu
+
+    def double_bn(path, x):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if any(k in ("mean", "var", "scale") for k in keys) or keys[-1] == "bias":
+            return x * 2
+        return x
+    params2 = jtu.tree_map_with_path(double_bn, params)
+    wd2 = weight_decay_loss(params2, 1e-4, 4e-5, "res50")
+    np.testing.assert_allclose(float(wd), float(wd2), rtol=1e-6)
+
+
+def test_test_mode_unnormalizes_bbox_pred(rng):
+    """TEST graph folds the target std/mean back in (network.py:428-432):
+    scaling stds by 2 must scale (pred - mean) by 2."""
+    img, im_info, _, _ = _inputs(rng)
+    spec1 = _small(spec_from_cfg("vgg16", 21, "TEST"))
+    spec2 = dataclasses.replace(spec1,
+                                bbox_normalize_stds=(0.2, 0.2, 0.4, 0.4))
+    m1, m2 = FasterRCNN(spec1), FasterRCNN(spec2)
+    params = m1.init(jax.random.PRNGKey(0), img, im_info)
+    out1 = m1.apply(params, img, im_info)
+    out2 = m2.apply(params, img, im_info)
+    np.testing.assert_allclose(np.asarray(out2["bbox_pred"]),
+                               np.asarray(out1["bbox_pred"]) * 2.0,
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,116 @@
+"""Detection losses.
+
+Reference semantics (/root/reference/lib/nets/network.py:264-321): RPN
+cross-entropy averaged over the +/- sampled anchors only; RPN smooth-L1 with
+sigma=3 weighted by inside/outside weights and summed per image; RCNN
+cross-entropy over the sampled rois; RCNN smooth-L1 with sigma=1 summed over
+the 4K columns and averaged over rois; plus L2 weight decay. Here everything
+is masked fixed-shape arithmetic; batch dims are averaged, which reduces to
+the reference exactly at B=1 and to the natural mean for B>1.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["smooth_l1_loss", "detection_losses", "weight_decay_loss"]
+
+
+def smooth_l1_loss(pred, target, inside_w, outside_w, sigma: float,
+                   reduce_dims):
+    """The reference's _smooth_l1_loss (network.py:264-277).
+
+    sum over reduce_dims, mean over what remains (the per-image/per-roi
+    mean).
+    """
+    sigma2 = sigma * sigma
+    diff = inside_w * (pred - target)
+    abs_diff = jnp.abs(diff)
+    sign = jax.lax.stop_gradient((abs_diff < 1.0 / sigma2).astype(pred.dtype))
+    per = (jnp.square(diff) * (sigma2 / 2.0) * sign
+           + (abs_diff - 0.5 / sigma2) * (1.0 - sign))
+    per = outside_w * per
+    return jnp.mean(jnp.sum(per, axis=reduce_dims))
+
+
+def _masked_softmax_ce(logits, labels, mask):
+    """Mean cross-entropy over mask-selected rows."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return -jnp.sum(ll * mask) / denom
+
+
+def detection_losses(preds: Dict, spec) -> Dict[str, jnp.ndarray]:
+    """The four losses of _add_losses (network.py:279-321) from the forward
+    outputs of FasterRCNN in TRAIN mode."""
+    at = preds["anchor_targets"]
+    pt = preds["proposal_targets"]
+
+    # RPN class loss: CE over anchors with label != -1
+    rpn_logits = preds["rpn_cls_score"]          # [B, N, 2]
+    rpn_labels = at.labels                        # [B, N]
+    sel = (rpn_labels != -1).astype(jnp.float32)
+    rpn_cross_entropy = _masked_softmax_ce(
+        rpn_logits, jnp.maximum(rpn_labels, 0), sel)
+
+    # RPN box loss: sigma 3, sum per image over all anchors x 4
+    rpn_loss_box = smooth_l1_loss(
+        preds["rpn_bbox_pred"], at.bbox_targets,
+        at.bbox_inside_weights, at.bbox_outside_weights,
+        sigma=3.0, reduce_dims=(1, 2))
+
+    # RCNN class loss over the fixed sampled rois
+    roi_mask = pt.valid.astype(jnp.float32)       # [B, S]
+    cross_entropy = _masked_softmax_ce(preds["cls_score"], pt.labels, roi_mask)
+
+    # RCNN box loss: sigma 1, sum over 4K, mean over rois
+    loss_box = smooth_l1_loss(
+        preds["bbox_pred"], pt.bbox_targets,
+        pt.bbox_inside_weights, pt.bbox_outside_weights,
+        sigma=1.0, reduce_dims=(2,))
+
+    total = rpn_cross_entropy + rpn_loss_box + cross_entropy + loss_box
+    return {
+        "rpn_cross_entropy": rpn_cross_entropy,
+        "rpn_loss_box": rpn_loss_box,
+        "cross_entropy": cross_entropy,
+        "loss_box": loss_box,
+        "total_loss": total,
+    }
+
+
+def weight_decay_loss(params, weight_decay: float, mobile_weight_decay: float,
+                      backbone: str, bias_decay: bool = False):
+    """L2 regularization matching tf l2_regularizer semantics:
+    wd * 0.5 * sum(w^2) over conv/dense kernels (biases excluded unless
+    BIAS_DECAY; BN params never decayed). MobileNet uses its own decay
+    constant for backbone weights (mobilenet_v1.py:186-204); its depthwise
+    kernels are only regularized under MOBILENET.REGU_DEPTH (handled by the
+    caller passing mobile_weight_decay=0 for them is NOT needed — the
+    reference default leaves REGU_DEPTH False, so depthwise kernels are
+    skipped here)."""
+    from tf_faster_rcnn_tpu.config import cfg
+    regu_depth = bool(cfg.MOBILENET.REGU_DEPTH)
+
+    def term(path, x):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        name = keys[-1]
+        joined = "/".join(keys)
+        if name not in ("kernel",) and not (bias_decay and name == "bias"):
+            return 0.0
+        if any(k in ("mean", "var", "scale") for k in keys):
+            return 0.0
+        wd = weight_decay
+        if backbone == "mobile" and (joined.startswith("head/")
+                                     or joined.startswith("tail/")):
+            if "depthwise" in joined and not regu_depth:
+                return 0.0
+            wd = mobile_weight_decay
+        return wd * 0.5 * jnp.sum(jnp.square(x.astype(jnp.float32)))
+
+    terms = jax.tree_util.tree_map_with_path(term, params)
+    return jax.tree_util.tree_reduce(lambda a, b: a + b, terms, 0.0)

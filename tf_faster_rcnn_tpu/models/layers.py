@@ -1,0 +1,91 @@
+"""Shared building blocks for the backbones.
+
+Reproduces the two slim layer behaviors the reference depends on for
+weight-parity:
+
+* ``conv_same``: slim's resnet_utils.conv2d_same — for stride > 1, explicit
+  symmetric-ish padding (total = kernel-1, beg = total//2) followed by a
+  VALID conv, so padding is input-size-independent (the reference calls this
+  out at lib/nets/resnet_v1.py:78-79). For stride 1 it is a plain SAME conv.
+* ``FrozenBatchNorm``: the reference trains every BN layer frozen
+  (is_training=False, trainable=False — resnet_v1.py:26-33,
+  mobilenet_v1.py:177-184), i.e. BN is an affine transform using the
+  pretrained moving statistics. Mean/var live in params alongside
+  scale/bias; nothing is ever updated in-place (optimizer masks exclude all
+  BN params), which keeps the train step a pure function.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["ConvSame", "FrozenBatchNorm", "max_pool_same", "normal_init"]
+
+
+def normal_init(stddev: float, truncated: bool = False):
+    if truncated:
+        return nn.initializers.truncated_normal(stddev=stddev)
+    return nn.initializers.normal(stddev=stddev)
+
+
+def same_padding(kernel: int, stride: int):
+    """slim conv2d_same padding: input-size-independent explicit padding for
+    stride > 1, plain SAME for stride 1."""
+    if stride == 1:
+        return "SAME"
+    total = kernel - 1
+    return [(total // 2, total - total // 2)] * 2
+
+
+def ConvSame(features: int, kernel: int = 3, stride: int = 1,
+             use_bias: bool = True, dtype=None,
+             kernel_init: Callable = nn.initializers.variance_scaling(
+                 2.0, "fan_in", "truncated_normal"),
+             feature_group_count: int = 1, name: Optional[str] = None):
+    """nn.Conv with slim conv2d_same padding semantics (NHWC, HWIO)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=same_padding(kernel, stride),
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=kernel_init,
+        feature_group_count=feature_group_count,
+        name=name)
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode batch norm with all statistics/affine params frozen.
+
+    y = scale * (x - mean) / sqrt(var + eps) + bias. The four arrays sit in
+    the params collection (so checkpoint converters can fill them from slim
+    moving averages) and are excluded from every optimizer mask.
+    """
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        else:
+            scale = jnp.ones((c,), jnp.float32)
+        # fold into a single multiply-add; computed in f32 then cast
+        inv = scale / jnp.sqrt(var + self.epsilon)
+        y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+        return y.astype(self.dtype or x.dtype)
+
+
+def max_pool_same(x, window: int, stride: int):
+    """slim max_pool2d(padding='SAME')."""
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding="SAME")

@@ -1,0 +1,123 @@
+"""MobileNet-v1 backbone with the reference's detection modifications.
+
+Structure parity with /root/reference/lib/nets/mobilenet_v1.py:
+* the 14-layer _CONV_DEFS table with the 13th layer forced to stride 1 so
+  the head ends at stride 16 (:62-79);
+* head = layers 0-11, tail = layers 12-13 applied to pooled RoI crops then
+  global mean (:214-250);
+* depthwise convs use conv2d_same explicit padding for stride 2 (:21-49);
+* relu6 activations, frozen BN (:175-204), depth multiplier with min_depth 8
+  (:114), first FIXED_LAYERS layers frozen — via ``trainable_filter``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tf_faster_rcnn_tpu.models.layers import ConvSame, FrozenBatchNorm
+
+__all__ = ["MobileNetV1Head", "MobileNetV1Tail", "CONV_DEFS", "trainable_filter"]
+
+# (is_depthwise_separable, stride, depth); layer 12 stride forced to 1
+CONV_DEFS = [
+    (False, 2, 32),
+    (True, 1, 64),
+    (True, 2, 128),
+    (True, 1, 128),
+    (True, 2, 256),
+    (True, 1, 256),
+    (True, 2, 512),
+    (True, 1, 512),
+    (True, 1, 512),
+    (True, 1, 512),
+    (True, 1, 512),
+    (True, 1, 512),
+    (True, 1, 1024),
+    (True, 1, 1024),
+]
+
+
+def _depth(d: int, multiplier: float, min_depth: int = 8) -> int:
+    return max(int(d * multiplier), min_depth)
+
+
+class _SepConv(nn.Module):
+    """3x3 depthwise (+BN+relu6) then 1x1 pointwise (+BN+relu6)."""
+    depth: int
+    stride: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        x = ConvSame(c_in, 3, self.stride, use_bias=False,
+                     feature_group_count=c_in, dtype=self.dtype,
+                     name="depthwise")(x)
+        x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
+                            name="depthwise_bn")(x)
+        x = jnp.minimum(nn.relu(x), 6.0)
+        x = nn.Conv(self.depth, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="pointwise")(x)
+        x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
+                            name="pointwise_bn")(x)
+        return jnp.minimum(nn.relu(x), 6.0)
+
+
+class _Layers(nn.Module):
+    start: int
+    stop: int
+    depth_multiplier: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.start, self.stop):
+            sep, stride, depth = CONV_DEFS[i]
+            d = _depth(depth, self.depth_multiplier)
+            name = f"conv2d_{i}"
+            if sep:
+                x = _SepConv(d, stride, dtype=self.dtype, name=name)(x)
+            else:
+                x = ConvSame(d, 3, stride, use_bias=False, dtype=self.dtype,
+                             name=name)(x)
+                x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
+                                    name=name + "_bn")(x)
+                x = jnp.minimum(nn.relu(x), 6.0)
+        return x
+
+
+class MobileNetV1Head(nn.Module):
+    """Layers 0-11 -> stride-16, 512*m-channel features."""
+    depth_multiplier: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _Layers(0, 12, self.depth_multiplier, dtype=self.dtype,
+                       name="base")(x)
+
+
+class MobileNetV1Tail(nn.Module):
+    """Layers 12-13 on pooled crops, then global mean."""
+    depth_multiplier: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, pooled):
+        x = _Layers(12, 14, self.depth_multiplier, dtype=self.dtype,
+                    name="base")(pooled)
+        return jnp.mean(x, axis=(1, 2))
+
+
+def trainable_filter(path: tuple, fixed_layers: int) -> bool:
+    """BN frozen everywhere; layers [0, fixed_layers) frozen."""
+    p = "/".join(str(x) for x in path)
+    if "_bn/" in p or "/depthwise_bn" in p or "/pointwise_bn" in p:
+        return False
+    for i in range(fixed_layers):
+        if f"conv2d_{i}/" in p or p.endswith(f"conv2d_{i}"):
+            return False
+    return True

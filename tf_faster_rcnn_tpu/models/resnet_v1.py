@@ -1,0 +1,134 @@
+"""ResNet-v1 (50/101/152) backbone with the reference's detection layout.
+
+Structure parity with /root/reference/lib/nets/resnet_v1.py:
+* stem: conv2d_same(64, 7, /2) -> pad(1) -> 3x3/2 VALID max-pool (:80-86);
+* head: blocks 1-3, with block3's stride-2 unit forced to stride 1 so conv4
+  ends at stride 16 (:127-152 — slim places the block stride on the LAST
+  unit of a block);
+* tail: block4 (stride 1) applied to pooled RoI crops, then global spatial
+  mean (:115-125);
+* every BN frozen (:22-44), stem always frozen, first FIXED_BLOCKS blocks
+  frozen (:88-113) — expressed via ``trainable_filter``.
+
+Bottleneck unit = 1x1 reduce -> 3x3 (carries the unit stride, conv2d_same)
+-> 1x1 expand, each +BN, relu after the residual add; identity shortcut is a
+stride subsample, projection shortcut is a 1x1/stride conv+BN (slim
+resnet_v1.bottleneck semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tf_faster_rcnn_tpu.models.layers import ConvSame, FrozenBatchNorm
+
+__all__ = ["ResNetV1Head", "ResNetV1Tail", "BLOCK_UNITS", "trainable_filter"]
+
+# num_units per block for each depth (resnet_v1.py:127-152)
+BLOCK_UNITS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+_BASE_DEPTHS = (64, 128, 256, 512)
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    relu: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvSame(self.features, self.kernel, self.stride, use_bias=False,
+                     dtype=self.dtype, name="conv")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class Bottleneck(nn.Module):
+    base_depth: int
+    stride: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        depth_out = self.base_depth * 4
+        depth_in = x.shape[-1]
+        if depth_in == depth_out:
+            # subsample: 1x1 max-pool with stride (slim resnet_utils.subsample)
+            shortcut = x if self.stride == 1 else x[:, ::self.stride, ::self.stride, :]
+        else:
+            shortcut = _ConvBN(depth_out, 1, self.stride, relu=False,
+                               dtype=self.dtype, name="shortcut")(x)
+        r = _ConvBN(self.base_depth, 1, 1, dtype=self.dtype, name="conv1")(x)
+        r = _ConvBN(self.base_depth, 3, self.stride, dtype=self.dtype,
+                    name="conv2")(r)
+        r = _ConvBN(depth_out, 1, 1, relu=False, dtype=self.dtype,
+                    name="conv3")(r)
+        return nn.relu(shortcut + r)
+
+
+class _Block(nn.Module):
+    base_depth: int
+    num_units: int
+    stride: int  # applied on the LAST unit (slim resnet_v1_block)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for u in range(self.num_units):
+            s = self.stride if u == self.num_units - 1 else 1
+            x = Bottleneck(self.base_depth, s, dtype=self.dtype,
+                           name=f"unit_{u + 1}")(x)
+        return x
+
+
+class ResNetV1Head(nn.Module):
+    """Stem + blocks 1-3 -> stride-16, 1024-channel conv4 features."""
+    num_layers: int = 101
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        units = BLOCK_UNITS[self.num_layers]
+        x = ConvSame(64, 7, 2, use_bias=False, dtype=self.dtype,
+                     name="conv1")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="conv1_bn")(x)
+        x = nn.relu(x)
+        x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        # block1/2 stride 2, block3 stride 1 (conv4 at stride 16)
+        strides = (2, 2, 1)
+        for b in range(3):
+            x = _Block(_BASE_DEPTHS[b], units[b], strides[b],
+                       dtype=self.dtype, name=f"block{b + 1}")(x)
+        return x
+
+
+class ResNetV1Tail(nn.Module):
+    """block4 on pooled crops, then global mean -> [N, 2048]."""
+    num_layers: int = 101
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, pooled):
+        units = BLOCK_UNITS[self.num_layers]
+        x = _Block(_BASE_DEPTHS[3], units[3], 1, dtype=self.dtype,
+                   name="block4")(pooled)
+        return jnp.mean(x, axis=(1, 2))
+
+
+def trainable_filter(path: tuple, fixed_blocks: int) -> bool:
+    """Reference freeze rules: BN frozen everywhere, stem frozen, first
+    ``fixed_blocks`` blocks frozen (resnet_v1.py:88-113)."""
+    p = "/".join(str(x) for x in path)
+    if "/bn/" in p or p.endswith("_bn") or "_bn/" in p or "/bn" in p:
+        return False
+    if "conv1/" in p and "block" not in p:  # stem
+        return False
+    for b in range(1, fixed_blocks + 1):
+        if f"block{b}/" in p:
+            return False
+    return True

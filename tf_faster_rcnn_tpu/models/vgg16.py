@@ -1,0 +1,57 @@
+"""VGG16 backbone (head conv1_1..conv5_3, tail fc6/fc7).
+
+Structure parity with the reference (/root/reference/lib/nets/vgg16.py:26-60):
+13 3x3 SAME convs with 4 2x2 SAME max-pools (stride 16 at conv5_3), tail is
+flatten + fc6/fc7 (4096) with 0.5 dropout in training. conv1 and conv2 are
+always frozen (vgg16.py:28-32); freezing is expressed through the optimizer
+mask returned by ``trainable_filter`` rather than by graph surgery.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["VGG16Head", "VGG16Tail", "trainable_filter"]
+
+_CFG = [(2, 64, "conv1"), (2, 128, "conv2"), (3, 256, "conv3"),
+        (3, 512, "conv4"), (3, 512, "conv5")]
+
+
+class VGG16Head(nn.Module):
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (reps, width, name) in enumerate(_CFG):
+            for r in range(reps):
+                x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"{name}_{r + 1}")(x)
+                x = nn.relu(x)
+            if i < len(_CFG) - 1:  # no pool after conv5
+                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+        return x
+
+
+class VGG16Tail(nn.Module):
+    deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, pooled):
+        # pooled: [N, 7, 7, 512] -> flatten in (h, w, c) order, matching
+        # slim.flatten so the slim fc6 [7,7,512,4096] kernel reshapes in
+        x = pooled.reshape(pooled.shape[0], -1)
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc6")(x))
+        x = nn.Dropout(0.5, deterministic=self.deterministic)(x)
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc7")(x))
+        x = nn.Dropout(0.5, deterministic=self.deterministic)(x)
+        return x
+
+
+def trainable_filter(path: tuple) -> bool:
+    """True if the param at this path trains (conv1/conv2 frozen)."""
+    p = "/".join(str(x) for x in path)
+    return not ("conv1_" in p or "conv2_" in p)

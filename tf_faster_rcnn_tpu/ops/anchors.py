@@ -62,13 +62,13 @@ def anchor_grid(feat_h: int, feat_w: int, feat_stride: int = 16,
     Row-major over (y, x, a): width varies fastest within a row of the feature
     map, matching the reference's (K, A) -> (K*A) flattening
     (snippets.py:26-27) and therefore the RPN head's HxWxA channel layout.
-    The reference TF twin truncates the base anchors to int32 before the cast
-    back to float (snippets.py:44-49); base anchors are integral so the two
-    paths agree — asserted here.
+    We follow the reference's numpy twin (float base anchors); its TF twin
+    truncates base anchors to int32 (snippets.py:44-49), which differs only
+    for configs with odd-sized anchors that no reference config uses — all
+    published anchor tables (scales >= 2) are integral and identical.
     """
     base = generate_anchors(ratios=np.array(anchor_ratios),
                             scales=np.array(anchor_scales))
-    assert np.all(base == np.round(base)), "base anchors must be integral"
     A = base.shape[0]
     shift_x = np.arange(0, feat_w) * feat_stride
     shift_y = np.arange(0, feat_h) * feat_stride

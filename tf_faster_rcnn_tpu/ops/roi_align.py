@@ -1,0 +1,105 @@
+"""RoI feature extraction: crop_and_resize with TF-exact sampling semantics.
+
+The reference pools RoI features with tf.image.crop_and_resize on normalized
+boxes scaled by (dim-1)*feat_stride, either 14x14 followed by a 2x2 SAME
+max-pool (VGG/MobileNet, /root/reference/lib/nets/network.py:141-157) or a
+direct 7x7 crop (ResNet, lib/nets/resnet_v1.py:55-76). Reproducing TF's exact
+sampling rules matters for weight-parity mAP (SURVEY.md "hard parts" #3):
+
+* for crop dim > 1:   src = p1*(S-1) + i * (p2-p1)*(S-1)/(crop-1)
+* for crop dim == 1:  src = 0.5*(p1+p2)*(S-1)
+* a sample whose src coordinate falls outside [0, S-1] in EITHER dimension
+  is the extrapolation value (0.0) — no partial blending at the border.
+
+Implemented as a gather-free one-hot matmul pair: the bilinear kernel is
+separable, so the crop is two small matrix contractions per axis — MXU work
+instead of the scatter/gather lowering that is slow on TPU. All shapes are
+static; rois are consumed in batched [B, R, 4] form with a batch dim carried
+by vmap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["crop_and_resize", "roi_crop_pool"]
+
+
+def _axis_weights(lo, hi, size: int, crop: int, dtype):
+    """Interpolation matrix W: [R, crop, size] with W[r,i,s] = bilinear weight
+    of source row s for output row i of roi r; rows for out-of-range samples
+    are all-zero (TF extrapation-value semantics)."""
+    s1 = lo * (size - 1.0)
+    s2 = hi * (size - 1.0)
+    if crop > 1:
+        step = (s2 - s1) / (crop - 1.0)
+        src = s1[:, None] + jnp.arange(crop, dtype=dtype)[None, :] * step[:, None]
+    else:
+        src = (0.5 * (s1 + s2))[:, None]
+    in_range = (src >= 0.0) & (src <= size - 1.0)
+    src_c = jnp.clip(src, 0.0, size - 1.0)
+    i0 = jnp.floor(src_c)
+    frac = src_c - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    grid = jnp.arange(size, dtype=jnp.int32)
+    one0 = (grid[None, None, :] == i0[:, :, None]).astype(dtype)
+    one1 = (grid[None, None, :] == i1[:, :, None]).astype(dtype)
+    w = one0 * (1.0 - frac)[:, :, None] + one1 * frac[:, :, None]
+    return w * in_range[:, :, None].astype(dtype)
+
+
+def crop_and_resize(image, boxes, crop_size):
+    """TF-exact crop_and_resize for a single image.
+
+    image: [H, W, C]; boxes: [R, 4] normalized (y1, x1, y2, x2);
+    crop_size: (crop_h, crop_w). Returns [R, crop_h, crop_w, C].
+    """
+    h, w, _ = image.shape
+    crop_h, crop_w = crop_size
+    dtype = image.dtype
+    boxes = boxes.astype(dtype)
+    wy = _axis_weights(boxes[:, 0], boxes[:, 2], h, crop_h, dtype)  # [R,ch,H]
+    wx = _axis_weights(boxes[:, 1], boxes[:, 3], w, crop_w, dtype)  # [R,cw,W]
+    # rows then cols: [R,ch,H]x[H,W,C] -> [R,ch,W,C] -> [R,ch,cw,C]
+    tmp = jnp.einsum("rih,hwc->riwc", wy, image,
+                     preferred_element_type=dtype)
+    out = jnp.einsum("rjw,riwc->rijc", wx, tmp,
+                     preferred_element_type=dtype)
+    return out
+
+
+def roi_crop_pool(features, rois, feat_stride: int, pool_size: int,
+                  max_pool: bool):
+    """The reference's _crop_pool_layer on batched inputs.
+
+    features: [B, Hf, Wf, C]; rois: [B, R, 4] in *image* pixel coords
+    (x1, y1, x2, y2). Normalizes by (dim-1)*stride exactly as
+    network.py:146-151, then either crops 2*pool_size and 2x2 SAME max-pools
+    (max_pool=True: VGG/MobileNet path, and ResNet under RESNET.MAX_POOL) or
+    crops pool_size directly. Returns [B, R, pool_size, pool_size, C].
+
+    RoI gradients are stopped (the reference stops them too,
+    network.py:153).
+    """
+    _, hf, wf, _ = features.shape
+    stride = float(feat_stride)
+    height = (hf - 1.0) * stride
+    width = (wf - 1.0) * stride
+    r = jax.lax.stop_gradient(rois)
+    norm = jnp.stack([r[..., 1] / height, r[..., 0] / width,
+                      r[..., 3] / height, r[..., 2] / width], axis=-1)
+    size = pool_size * 2 if max_pool else pool_size
+    crops = jax.vmap(lambda f, b: crop_and_resize(f, b, (size, size)))(
+        features, norm)
+    if max_pool:
+        # 2x2/2 max-pool, SAME padding (even input so SAME == VALID here)
+        b, n, ch, cw, c = crops.shape
+        crops = crops.reshape(b * n, ch, cw, c)
+        crops = jax.lax.reduce_window(
+            crops, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+            padding="SAME")
+        crops = crops.reshape(b, n, pool_size, pool_size, c)
+    return crops
