@@ -1,0 +1,93 @@
+"""Benchmark: Faster R-CNN ResNet-101 detection throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the BASELINE.json headline config — R101 Faster R-CNN at 600px-
+class input (608x1024 canvas, the typical VOC 600x~1000 shape padded to
+stride-32 multiples), TEST graph with 300 post-NMS proposals and the full
+on-device postprocess (per-class NMS + top-100 cap). Batched inference —
+the reference is structurally single-image (lib/model/test.py:88), batching
+is part of the TPU-native redesign.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+reference's own runtime prints put R101 at roughly 110-160 ms/image on the
+TitanX/GTX1080-class GPUs of its README (~7 img/s); we use 7.0 img/s as the
+reference point, so vs_baseline is "x times the reference GPU" and the
+BASELINE.json target (>=10x) means vs_baseline >= 10.
+"""
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+REF_IMAGES_PER_SEC = 7.0
+BATCH = 8
+CANVAS = (608, 1024)
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    from tf_faster_rcnn_tpu.config import cfg
+    from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    spec = dataclasses.replace(
+        spec_from_cfg("res101", 21, "TEST"),
+        rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
+    model = FasterRCNN(spec)
+
+    h, w = CANVAS
+    rng = np.random.RandomState(0)
+    image = rng.randn(BATCH, h, w, 3).astype(np.float32) * 40.0
+    im_info = np.tile(np.array([[600.0, 1000.0, 1.6]], np.float32),
+                      (BATCH, 1))
+    orig_hw = np.tile(np.array([[375.0, 625.0]], np.float32), (BATCH, 1))
+
+    params = model.init(jax.random.PRNGKey(0), image[:1], im_info[:1])
+
+    def detect(params, image, im_info, orig_hw):
+        out = model.apply(params, image, im_info)
+        det, dv = postprocess_detections(
+            out["rois"], out["roi_valid"], out["cls_prob"], out["bbox_pred"],
+            im_info, orig_hw, num_classes=21,
+            max_per_image=int(cfg.TPU.MAX_PER_IMAGE),
+            nms_thresh=float(cfg.TEST.NMS))
+        return det, dv
+
+    # The whole timing loop runs on-device (lax.fori_loop with a data
+    # dependency between iterations) and ends in a scalar host fetch: on
+    # this environment's relayed TPU, block_until_ready does not actually
+    # block and each host round-trip costs ~30 ms, so host-side per-call
+    # timing is meaningless in both directions.
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def timed(params, image, im_info, orig_hw, iters):
+        def body(i, carry):
+            img = image + carry * 1e-20  # serialize iterations
+            det, dv = detect(params, img, im_info, orig_hw)
+            return det[0, 0, 1]
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(timed(params, image, im_info, orig_hw, WARMUP))  # compile + warm
+    t0 = time.perf_counter()
+    float(timed(params, image, im_info, orig_hw, ITERS))
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "r101_frcnn_600px_detection_throughput",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / REF_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+#!/bin/bash
+# Eval driver (reference experiments/scripts/test_faster_rcnn.sh parity).
+# Usage: ./experiments/scripts/test_faster_rcnn.sh DEVICES DATASET NET [extra]
+
+set -x
+set -e
+
+export PYTHONUNBUFFERED="True"
+
+DEVICES=$1
+DATASET=$2
+NET=$3
+
+array=( $@ )
+len=${#array[@]}
+EXTRA_ARGS=${array[@]:3:$len}
+EXTRA_ARGS_SLUG=${EXTRA_ARGS// /_}
+
+case ${DATASET} in
+  pascal_voc)
+    TRAIN_IMDB="voc_2007_trainval"
+    TEST_IMDB="voc_2007_test"
+    ITERS=70000
+    ANCHORS="[8,16,32]"
+    RATIOS="[0.5,1,2]"
+    ;;
+  pascal_voc_0712)
+    TRAIN_IMDB="voc_2007_trainval+voc_2012_trainval"
+    TEST_IMDB="voc_2007_test"
+    ITERS=110000
+    ANCHORS="[8,16,32]"
+    RATIOS="[0.5,1,2]"
+    ;;
+  coco)
+    TRAIN_IMDB="coco_2014_train+coco_2014_valminusminival"
+    TEST_IMDB="coco_2014_minival"
+    ITERS=490000
+    ANCHORS="[4,8,16,32]"
+    RATIOS="[0.5,1,2]"
+    ;;
+  *)
+    echo "No dataset given"
+    exit
+    ;;
+esac
+
+mkdir -p experiments/logs
+LOG="experiments/logs/test_${NET}_${TRAIN_IMDB}_${EXTRA_ARGS_SLUG}.txt.`date +'%Y-%m-%d_%H-%M-%S'`"
+exec &> >(tee -a "$LOG")
+echo Logging output to "$LOG"
+
+PREFIX=${NET}_faster_rcnn
+if [[ ${NET} == "res101" || ${NET} == "res50" || ${NET} == "res152" ]]; then
+  PREFIX=${NET}_faster_rcnn
+fi
+
+if [[ ! -z ${EXTRA_ARGS_SLUG} ]]; then
+  NET_FINAL=output/${NET}/${TRAIN_IMDB}/${EXTRA_ARGS_SLUG}/${PREFIX}_iter_${ITERS}.msgpack
+else
+  NET_FINAL=output/${NET}/${TRAIN_IMDB}/default/${PREFIX}_iter_${ITERS}.msgpack
+fi
+
+time python ./tools/test_net.py \
+  --imdb ${TEST_IMDB} \
+  --model ${NET_FINAL} \
+  --cfg experiments/cfgs/${NET}.yml \
+  --net ${NET} \
+  --set ANCHOR_SCALES ${ANCHORS} ANCHOR_RATIOS ${RATIOS} ${EXTRA_ARGS}

@@ -1,0 +1,58 @@
+"""Image blob preparation.
+
+Resize/mean-subtract semantics parity with the reference (/root/reference/
+lib/utils/blob.py:17-47, lib/model/test.py:26-58): BGR channel order,
+PIXEL_MEANS subtraction, shortest-side scaling to the target SCALES capped by
+MAX_SIZE. The TPU difference: instead of padding each batch to its own max
+shape (dynamic), images are placed top-left into a fixed canvas so every
+batch compiles to the same program; the true extent travels in im_info.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def prep_im_for_blob(im, pixel_means, target_size, max_size):
+    """Mean-subtract and scale an image for use in a blob.
+
+    im: HxWx3 BGR uint8/float. Returns (float image, scale).
+    """
+    im = im.astype(np.float32, copy=False)
+    im = im - pixel_means
+    im_shape = im.shape
+    im_size_min = np.min(im_shape[0:2])
+    im_size_max = np.max(im_shape[0:2])
+    im_scale = float(target_size) / float(im_size_min)
+    # prevent the biggest axis from being more than MAX_SIZE
+    if np.round(im_scale * im_size_max) > max_size:
+        im_scale = float(max_size) / float(im_size_max)
+    im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
+                    interpolation=cv2.INTER_LINEAR)
+    return im, im_scale
+
+
+def im_to_canvas(im, canvas_hw: Tuple[int, int]):
+    """Zero-pad a prepared image into the static canvas (top-left anchored).
+
+    Returns (canvas [H, W, 3] float32, (h, w) true extent). Images larger
+    than the canvas are an error — callers derive the canvas from
+    SCALES/MAX_SIZE so this can't happen with consistent config.
+    """
+    ch, cw = canvas_hw
+    h, w = im.shape[0], im.shape[1]
+    assert h <= ch and w <= cw, (
+        f"image {h}x{w} exceeds canvas {ch}x{cw}")
+    canvas = np.zeros((ch, cw, 3), dtype=np.float32)
+    canvas[:h, :w, :] = im
+    return canvas, (h, w)
+
+
+def read_image_bgr(path):
+    """cv2 imread (BGR, matching the reference's pixel means order)."""
+    im = cv2.imread(path)
+    assert im is not None, f"failed to read image {path}"
+    return im

@@ -1,0 +1,141 @@
+"""Training data layer: epoch permutations, cursors, fixed-shape minibatches.
+
+Behavior parity with the reference RoIDataLayer and minibatch builder
+(/root/reference/lib/roi_data_layer/layer.py:24-88, minibatch.py:19-74):
+epoch-wise permutation with optional aspect-ratio grouping, cursor-based
+index generation whose state is checkpointable (the reference pickles it
+into every snapshot, train_val.py:57-78), random scale selection, flip
+handling, and the COCO crowd-box exclusion under USE_ALL_GT=False.
+
+TPU differences: the batch has static shape — images land on a fixed canvas
+(see data/blob.py), gt boxes pad to TPU.MAX_GT with a validity mask, and the
+batch size is images-per-step across the data-parallel mesh rather than the
+reference's hard-coded single image.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from tf_faster_rcnn_tpu.config import cfg
+from tf_faster_rcnn_tpu.data.blob import (im_to_canvas, prep_im_for_blob,
+                                          read_image_bgr)
+
+__all__ = ["RoIDataLayer", "get_minibatch"]
+
+
+def _sample_scale(rng: np.random.RandomState):
+    scales = cfg.TRAIN.SCALES
+    return scales[int(rng.randint(0, high=len(scales)))]
+
+
+def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
+                  rng: Optional[np.random.RandomState] = None) -> Dict:
+    """Build a fixed-shape batch from roidb entries.
+
+    Returns dict with image [B,H,W,3], im_info [B,3], gt_boxes [B,G,5],
+    gt_valid [B,G], plus orig_hw [B,2] for eval-time clipping.
+    """
+    rng = rng or np.random
+    b = len(roidb_entries)
+    ch, cw = canvas_hw
+    images = np.zeros((b, ch, cw, 3), np.float32)
+    im_info = np.zeros((b, 3), np.float32)
+    gt_boxes = np.zeros((b, max_gt, 5), np.float32)
+    gt_valid = np.zeros((b, max_gt), bool)
+    orig_hw = np.zeros((b, 2), np.float32)
+
+    for i, entry in enumerate(roidb_entries):
+        target_size = _sample_scale(rng)
+        im = read_image_bgr(entry['image'])
+        orig_hw[i] = (im.shape[0], im.shape[1])
+        if entry.get('flipped', False):
+            im = im[:, ::-1, :]
+        im, scale = prep_im_for_blob(im, cfg.PIXEL_MEANS, target_size,
+                                     cfg.TRAIN.MAX_SIZE)
+        canvas, (h, w) = im_to_canvas(im, canvas_hw)
+        images[i] = canvas
+        im_info[i] = (h, w, scale)
+
+        if cfg.TRAIN.USE_ALL_GT:
+            gt_inds = np.where(entry['gt_classes'] != 0)[0]
+        else:
+            # exclude crowd boxes (gt_overlaps row max == -1, coco.py:158)
+            gt_inds = np.where(
+                (entry['gt_classes'] != 0)
+                & np.all(entry['gt_overlaps'].toarray() > -1.0, axis=1))[0]
+        n = min(len(gt_inds), max_gt)
+        sel = gt_inds[:n]
+        gt_boxes[i, :n, :4] = entry['boxes'][sel, :].astype(np.float32) * scale
+        gt_boxes[i, :n, 4] = entry['gt_classes'][sel]
+        gt_valid[i, :n] = True
+
+    return {"image": images, "im_info": im_info, "gt_boxes": gt_boxes,
+            "gt_valid": gt_valid, "orig_hw": orig_hw}
+
+
+class RoIDataLayer(object):
+    """Fast R-CNN style data layer with checkpointable iteration state."""
+
+    def __init__(self, roidb, random=False, batch_size: Optional[int] = None,
+                 canvas_hw: Optional[Tuple[int, int]] = None,
+                 max_gt: Optional[int] = None):
+        from tf_faster_rcnn_tpu.config import canvas_hw as cfg_canvas
+        self._roidb = roidb
+        self._random = random
+        self._batch = batch_size or int(cfg.TRAIN.IMS_PER_BATCH)
+        self._canvas = canvas_hw or cfg_canvas(cfg.TRAIN)
+        self._max_gt = max_gt or int(cfg.TPU.MAX_GT)
+        self._rng = np.random.RandomState(cfg.RNG_SEED)
+        self._shuffle_roidb_inds()
+
+    def _shuffle_roidb_inds(self):
+        """Randomly permute the roidb, optionally grouping by aspect ratio
+        (layer.py:32-62)."""
+        if self._random:
+            # time-seeded shuffle for the validation layer (layer.py:37-41)
+            self._rng = np.random.RandomState(int(time.time() * 1000) % 4096)
+        if cfg.TRAIN.ASPECT_GROUPING:
+            widths = np.array([r['width'] for r in self._roidb])
+            heights = np.array([r['height'] for r in self._roidb])
+            horz = (widths >= heights)
+            vert = np.logical_not(horz)
+            horz_inds = np.where(horz)[0]
+            vert_inds = np.where(vert)[0]
+            inds = np.hstack((
+                self._rng.permutation(horz_inds),
+                self._rng.permutation(vert_inds)))
+            inds = np.reshape(inds, (-1, 2))
+            row_perm = self._rng.permutation(np.arange(inds.shape[0]))
+            inds = np.reshape(inds[row_perm, :], (-1,))
+            self._perm = inds
+        else:
+            self._perm = self._rng.permutation(np.arange(len(self._roidb)))
+        self._cur = 0
+
+    def _get_next_minibatch_inds(self):
+        if self._cur + self._batch > len(self._roidb):
+            self._shuffle_roidb_inds()
+        db_inds = self._perm[self._cur:self._cur + self._batch]
+        self._cur += self._batch
+        return db_inds
+
+    def forward(self) -> Dict:
+        db_inds = self._get_next_minibatch_inds()
+        entries = [self._roidb[int(i)] for i in db_inds]
+        return get_minibatch(entries, self._canvas, self._max_gt, self._rng)
+
+    # --- checkpointable iteration state (mirrors the reference's pickled
+    # cursors/permutations, train_val.py:57-78) ---
+
+    def get_state(self) -> Dict:
+        return {"cur": self._cur, "perm": np.asarray(self._perm),
+                "rng_state": self._rng.get_state()}
+
+    def set_state(self, state: Dict):
+        self._cur = int(state["cur"])
+        self._perm = np.asarray(state["perm"])
+        self._rng.set_state(state["rng_state"])

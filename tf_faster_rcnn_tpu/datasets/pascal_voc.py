@@ -1,0 +1,249 @@
+"""PASCAL VOC dataset.
+
+Behavior parity with the reference (/root/reference/lib/datasets/
+pascal_voc.py:26-299): 21-class list, VOCdevkit directory layout, XML
+annotation loading with difficult filtering and 0-based pixel coords,
+pickle-cached gt roidb, salted comp4 results files in the devkit layout,
+python voc_eval per class + mAP, and competition_mode toggling salt/cleanup.
+The optional MATLAB eval subprocess is supported when a MATLAB binary is
+configured (cfg.MATLAB); the reference itself notes the python eval is very
+close (pascal_voc.py:260-262).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import subprocess
+import uuid
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import scipy.sparse
+
+from tf_faster_rcnn_tpu.config import cfg
+from tf_faster_rcnn_tpu.datasets.imdb import imdb
+from tf_faster_rcnn_tpu.datasets.voc_eval import voc_eval
+
+VOC_CLASSES = ('__background__',
+               'aeroplane', 'bicycle', 'bird', 'boat',
+               'bottle', 'bus', 'car', 'cat', 'chair',
+               'cow', 'diningtable', 'dog', 'horse',
+               'motorbike', 'person', 'pottedplant',
+               'sheep', 'sofa', 'train', 'tvmonitor')
+
+
+class pascal_voc(imdb):
+    def __init__(self, image_set, year, use_diff=False):
+        name = 'voc_' + year + '_' + image_set
+        if use_diff:
+            name += '_diff'
+        imdb.__init__(self, name, classes=list(VOC_CLASSES))
+        self._year = year
+        self._image_set = image_set
+        self._devkit_path = self._get_default_path()
+        self._data_path = os.path.join(self._devkit_path, 'VOC' + self._year)
+        self._class_to_ind = dict(zip(self.classes, range(self.num_classes)))
+        self._image_ext = '.jpg'
+        self._image_index = self._load_image_set_index()
+        self._roidb_handler = self.gt_roidb
+        self._salt = str(uuid.uuid4())
+        self._comp_id = 'comp4'
+
+        self.config = {'cleanup': True,
+                       'use_salt': True,
+                       'use_diff': use_diff,
+                       'matlab_eval': False,
+                       'rpn_file': None}
+
+        assert os.path.exists(self._devkit_path), \
+            'VOCdevkit path does not exist: {}'.format(self._devkit_path)
+        assert os.path.exists(self._data_path), \
+            'Path does not exist: {}'.format(self._data_path)
+
+    def image_path_at(self, i):
+        return self.image_path_from_index(self._image_index[i])
+
+    def image_path_from_index(self, index):
+        image_path = os.path.join(self._data_path, 'JPEGImages',
+                                  index + self._image_ext)
+        assert os.path.exists(image_path), \
+            'Path does not exist: {}'.format(image_path)
+        return image_path
+
+    def _load_image_set_index(self):
+        image_set_file = os.path.join(self._data_path, 'ImageSets', 'Main',
+                                      self._image_set + '.txt')
+        assert os.path.exists(image_set_file), \
+            'Path does not exist: {}'.format(image_set_file)
+        with open(image_set_file) as f:
+            return [x.strip() for x in f.readlines()]
+
+    def _get_default_path(self):
+        return os.path.join(cfg.DATA_DIR, 'VOCdevkit' + self._year)
+
+    def gt_roidb(self):
+        cache_file = os.path.join(self.cache_path,
+                                  self.name + '_gt_roidb.pkl')
+        if os.path.exists(cache_file):
+            with open(cache_file, 'rb') as fid:
+                roidb = pickle.load(fid)
+            print('{} gt roidb loaded from {}'.format(self.name, cache_file))
+            return roidb
+        gt_roidb = [self._load_pascal_annotation(index)
+                    for index in self.image_index]
+        with open(cache_file, 'wb') as fid:
+            pickle.dump(gt_roidb, fid, pickle.HIGHEST_PROTOCOL)
+        print('wrote gt roidb to {}'.format(cache_file))
+        return gt_roidb
+
+    def rpn_roidb(self):
+        """External RPN proposals merged with gt (legacy proposal mode)."""
+        if int(self._year) == 2007 or self._image_set != 'test':
+            gt_roidb = self.gt_roidb()
+            rpn_roidb = self._load_rpn_roidb(gt_roidb)
+            roidb = imdb.merge_roidbs(gt_roidb, rpn_roidb)
+        else:
+            roidb = self._load_rpn_roidb(None)
+        return roidb
+
+    def _load_rpn_roidb(self, gt_roidb):
+        filename = self.config['rpn_file']
+        print('loading {}'.format(filename))
+        assert os.path.exists(filename), \
+            'rpn data not found at: {}'.format(filename)
+        with open(filename, 'rb') as f:
+            box_list = pickle.load(f)
+        return self.create_roidb_from_box_list(box_list, gt_roidb)
+
+    def _load_pascal_annotation(self, index):
+        """XML annotation -> roidb entry (0-based pixel coords)."""
+        filename = os.path.join(self._data_path, 'Annotations',
+                                index + '.xml')
+        tree = ET.parse(filename)
+        objs = tree.findall('object')
+        if not self.config['use_diff']:
+            objs = [obj for obj in objs
+                    if int(obj.find('difficult').text) == 0]
+        num_objs = len(objs)
+
+        boxes = np.zeros((num_objs, 4), dtype=np.uint16)
+        gt_classes = np.zeros((num_objs), dtype=np.int32)
+        overlaps = np.zeros((num_objs, self.num_classes), dtype=np.float32)
+        seg_areas = np.zeros((num_objs), dtype=np.float32)
+
+        for ix, obj in enumerate(objs):
+            bbox = obj.find('bndbox')
+            x1 = float(bbox.find('xmin').text) - 1
+            y1 = float(bbox.find('ymin').text) - 1
+            x2 = float(bbox.find('xmax').text) - 1
+            y2 = float(bbox.find('ymax').text) - 1
+            cls = self._class_to_ind[obj.find('name').text.lower().strip()]
+            boxes[ix, :] = [x1, y1, x2, y2]
+            gt_classes[ix] = cls
+            overlaps[ix, cls] = 1.0
+            seg_areas[ix] = (x2 - x1 + 1) * (y2 - y1 + 1)
+
+        return {'boxes': boxes,
+                'gt_classes': gt_classes,
+                'gt_overlaps': scipy.sparse.csr_matrix(overlaps),
+                'flipped': False,
+                'seg_areas': seg_areas}
+
+    def _get_comp_id(self):
+        return (self._comp_id + '_' + self._salt
+                if self.config['use_salt'] else self._comp_id)
+
+    def _get_voc_results_file_template(self):
+        # VOCdevkit/results/VOC2007/Main/<comp_id>_det_test_aeroplane.txt
+        filename = (self._get_comp_id() + '_det_' + self._image_set
+                    + '_{:s}.txt')
+        dirname = os.path.join(self._devkit_path, 'results',
+                               'VOC' + self._year, 'Main')
+        os.makedirs(dirname, exist_ok=True)
+        return os.path.join(dirname, filename)
+
+    def _write_voc_results_file(self, all_boxes):
+        for cls_ind, cls in enumerate(self.classes):
+            if cls == '__background__':
+                continue
+            print('Writing {} VOC results file'.format(cls))
+            filename = self._get_voc_results_file_template().format(cls)
+            with open(filename, 'wt') as f:
+                for im_ind, index in enumerate(self.image_index):
+                    dets = all_boxes[cls_ind][im_ind]
+                    if len(dets) == 0:
+                        continue
+                    # the VOCdevkit expects 1-based indices
+                    for k in range(dets.shape[0]):
+                        f.write('{:s} {:.3f} {:.1f} {:.1f} {:.1f} {:.1f}\n'
+                                .format(index, dets[k, -1],
+                                        dets[k, 0] + 1, dets[k, 1] + 1,
+                                        dets[k, 2] + 1, dets[k, 3] + 1))
+
+    def _do_python_eval(self, output_dir='output'):
+        annopath = os.path.join(self._devkit_path, 'VOC' + self._year,
+                                'Annotations', '{:s}.xml')
+        imagesetfile = os.path.join(self._devkit_path, 'VOC' + self._year,
+                                    'ImageSets', 'Main',
+                                    self._image_set + '.txt')
+        cachedir = os.path.join(self._devkit_path, 'annotations_cache')
+        aps = []
+        # the PASCAL VOC metric changed in 2010
+        use_07_metric = int(self._year) < 2010
+        print('VOC07 metric? ' + ('Yes' if use_07_metric else 'No'))
+        os.makedirs(output_dir, exist_ok=True)
+        for i, cls in enumerate(self._classes):
+            if cls == '__background__':
+                continue
+            filename = self._get_voc_results_file_template().format(cls)
+            rec, prec, ap = voc_eval(
+                filename, annopath, imagesetfile, cls, cachedir,
+                ovthresh=0.5, use_07_metric=use_07_metric,
+                use_diff=self.config['use_diff'])
+            aps += [ap]
+            print('AP for {} = {:.4f}'.format(cls, ap))
+            with open(os.path.join(output_dir, cls + '_pr.pkl'), 'wb') as f:
+                pickle.dump({'rec': rec, 'prec': prec, 'ap': ap}, f)
+        print('Mean AP = {:.4f}'.format(np.mean(aps)))
+        print('~~~~~~~~')
+        print('Results:')
+        for ap in aps:
+            print('{:.3f}'.format(ap))
+        print('{:.3f}'.format(np.mean(aps)))
+        print('~~~~~~~~')
+        return float(np.mean(aps))
+
+    def _do_matlab_eval(self, output_dir='output'):
+        print('Computing results with the official MATLAB eval code.')
+        path = os.path.join(cfg.ROOT_DIR, 'tf_faster_rcnn_tpu', 'datasets',
+                            'VOCdevkit-matlab-wrapper')
+        cmd = 'cd {} && '.format(path)
+        cmd += '{:s} -nodisplay -nodesktop '.format(cfg.MATLAB)
+        cmd += '-r "dbstop if error; '
+        cmd += 'voc_eval(\'{:s}\',\'{:s}\',\'{:s}\',\'{:s}\'); quit;"' \
+            .format(self._devkit_path, self._get_comp_id(),
+                    self._image_set, output_dir)
+        print('Running:\n{}'.format(cmd))
+        subprocess.call(cmd, shell=True)
+
+    def evaluate_detections(self, all_boxes, output_dir):
+        self._write_voc_results_file(all_boxes)
+        mean_ap = self._do_python_eval(output_dir)
+        if self.config['matlab_eval']:
+            self._do_matlab_eval(output_dir)
+        if self.config['cleanup']:
+            for cls in self._classes:
+                if cls == '__background__':
+                    continue
+                filename = self._get_voc_results_file_template().format(cls)
+                os.remove(filename)
+        return mean_ap
+
+    def competition_mode(self, on):
+        if on:
+            self.config['use_salt'] = False
+            self.config['cleanup'] = False
+        else:
+            self.config['use_salt'] = True
+            self.config['cleanup'] = True

@@ -1,0 +1,170 @@
+"""Evaluation engine: batched im_detect over an imdb, detections.pkl,
+dataset evaluation.
+
+Flow parity with the reference test engine (/root/reference/lib/model/
+test.py:86-193): blob prep per TEST.SCALES/MAX_SIZE, forward, per-class NMS
+at TEST.NMS, max_per_image cap, detections.pkl, imdb.evaluate_detections,
+plus apply_nms for re-evaluation (reval). The TPU differences: images run in
+fixed-shape batches through one jitted program that includes the postprocess
+(the reference loops classes on the host per image, test.py:162-170), and
+the per-image timing printout is kept.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from tf_faster_rcnn_tpu.config import canvas_hw, cfg
+from tf_faster_rcnn_tpu.data.blob import (im_to_canvas, prep_im_for_blob,
+                                          read_image_bgr)
+from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
+from tf_faster_rcnn_tpu.utils.native import nms_cpu
+from tf_faster_rcnn_tpu.utils.timer import Timer
+
+__all__ = ["make_detect_fn", "im_detect", "test_net", "apply_nms"]
+
+
+def make_detect_fn(model, spec, max_per_image: Optional[int] = None,
+                   score_thresh: float = 0.0):
+    """Jitted (params, image, im_info, orig_hw) -> (detections, valid).
+
+    detections: [B, max_per_image, 6] as (cls, score, x1, y1, x2, y2) in
+    original image coordinates.
+    """
+    import jax
+    mpi = int(max_per_image or cfg.TPU.MAX_PER_IMAGE)
+    nms_thresh = float(cfg.TEST.NMS)
+
+    @jax.jit
+    def detect(params, image, im_info, orig_hw):
+        out = model.apply(params, image, im_info)
+        return postprocess_detections(
+            out["rois"], out["roi_valid"], out["cls_prob"], out["bbox_pred"],
+            im_info, orig_hw, num_classes=spec.num_classes,
+            max_per_image=mpi, nms_thresh=nms_thresh,
+            score_thresh=score_thresh)
+
+    return detect
+
+
+def _prep_batch(paths, canvas):
+    b = len(paths)
+    ch, cw = canvas
+    images = np.zeros((b, ch, cw, 3), np.float32)
+    im_info = np.zeros((b, 3), np.float32)
+    orig_hw = np.zeros((b, 2), np.float32)
+    for i, p in enumerate(paths):
+        im = read_image_bgr(p)
+        orig_hw[i] = (im.shape[0], im.shape[1])
+        prepped, scale = prep_im_for_blob(
+            im, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+        c, (h, w) = im_to_canvas(prepped, canvas)
+        images[i] = c
+        im_info[i] = (h, w, scale)
+    return images, im_info, orig_hw
+
+
+def im_detect(detect_fn, params, im, canvas=None):
+    """Single-image detection (demo-style). Returns (dets [N,6], valid)."""
+    canvas = canvas or canvas_hw(cfg.TEST)
+    ch, cw = canvas
+    orig_hw = np.array([[im.shape[0], im.shape[1]]], np.float32)
+    prepped, scale = prep_im_for_blob(
+        im.copy(), cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+    c, (h, w) = im_to_canvas(prepped, canvas)
+    det, dv = detect_fn(params, c[None], np.array([[h, w, scale]], np.float32),
+                        orig_hw)
+    det, dv = np.asarray(det[0]), np.asarray(dv[0])
+    return det[dv], dv
+
+
+def _slab_to_all_boxes(det, dv, num_classes):
+    """Fixed detection slab -> the reference all_boxes row (per-class [N,5]
+    arrays of (x1,y1,x2,y2,score))."""
+    per_class = [[] for _ in range(num_classes)]
+    for row, ok in zip(det, dv):
+        if not ok:
+            continue
+        c = int(row[0])
+        per_class[c].append([row[2], row[3], row[4], row[5], row[1]])
+    return [np.array(v, np.float32).reshape(-1, 5) for v in per_class]
+
+
+def test_net(model, spec, params, imdb, weights_filename,
+             max_per_image: int = 100, thresh: float = 0.0,
+             batch_size: Optional[int] = None, output_dir: Optional[str] = None):
+    """Evaluate a model on an imdb; writes detections.pkl, runs the dataset
+    evaluator, returns its result (mAP for VOC)."""
+    from tf_faster_rcnn_tpu.config import get_output_dir
+    np.random.seed(cfg.RNG_SEED)
+    num_images = imdb.num_images
+    num_classes = imdb.num_classes
+    all_boxes = [[[] for _ in range(num_images)]
+                 for _ in range(num_classes)]
+    output_dir = output_dir or get_output_dir(imdb, weights_filename)
+    os.makedirs(output_dir, exist_ok=True)
+    canvas = canvas_hw(cfg.TEST)
+    b = batch_size or max(1, int(cfg.TPU.IMS_PER_DEVICE))
+
+    detect_fn = make_detect_fn(model, spec, max_per_image, thresh)
+
+    _t = {'im_detect': Timer(), 'misc': Timer()}
+    for start in range(0, num_images, b):
+        idx = list(range(start, min(start + b, num_images)))
+        # fixed batch shape: repeat the last image to fill the final batch
+        pad = b - len(idx)
+        paths = [imdb.image_path_at(i) for i in idx] + \
+                [imdb.image_path_at(idx[-1])] * pad
+        _t['im_detect'].tic()
+        images, im_info, orig_hw = _prep_batch(paths, canvas)
+        det, dv = detect_fn(params, images, im_info, orig_hw)
+        det, dv = np.asarray(det), np.asarray(dv)
+        _t['im_detect'].toc()
+
+        _t['misc'].tic()
+        for j, i in enumerate(idx):
+            boxes = _slab_to_all_boxes(det[j], dv[j], num_classes)
+            for c in range(1, num_classes):
+                all_boxes[c][i] = boxes[c]
+        _t['misc'].toc()
+        print('im_detect: {:d}/{:d} {:.3f}s {:.3f}s'.format(
+            min(start + b, num_images), num_images,
+            _t['im_detect'].average_time, _t['misc'].average_time))
+
+    det_file = os.path.join(output_dir, 'detections.pkl')
+    with open(det_file, 'wb') as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+
+    print('Evaluating detections')
+    return imdb.evaluate_detections(all_boxes, output_dir)
+
+
+def apply_nms(all_boxes, thresh):
+    """Host-side per-class NMS over pickled detections (reval path;
+    reference test.py:109-136). Uses the native C++ op with the reference
+    gpu_nms semantics (+1 IoU, suppress at >)."""
+    num_classes = len(all_boxes)
+    num_images = len(all_boxes[0])
+    nms_boxes = [[[] for _ in range(num_images)]
+                 for _ in range(num_classes)]
+    for cls_ind in range(num_classes):
+        for im_ind in range(num_images):
+            dets = all_boxes[cls_ind][im_ind]
+            if len(dets) == 0:
+                continue
+            dets = np.asarray(dets, np.float32)
+            x1, y1 = dets[:, 0], dets[:, 1]
+            x2, y2 = dets[:, 2], dets[:, 3]
+            inds = np.where((x2 > x1) & (y2 > y1))[0]
+            dets = dets[inds, :]
+            if dets.size == 0:
+                continue
+            keep = nms_cpu(dets, thresh, plus_one=True, suppress_eq=False)
+            if len(keep) == 0:
+                continue
+            nms_boxes[cls_ind][im_ind] = dets[keep, :].copy()
+    return nms_boxes

@@ -1,0 +1,214 @@
+"""Training driver: the SolverWrapper equivalent.
+
+Flow parity with the reference (/root/reference/lib/model/train_val.py:
+27-378): filter invalid roidb entries, build train/val data layers (val
+layer time-seed shuffled), construct the model/optimizer, initialize from
+pretrained weights (with the per-backbone import surgery) or resume from the
+newest snapshot, then the hot loop: train step, loss display every DISPLAY
+iters, periodic val-loss summaries every SUMMARY_INTERVAL seconds, snapshots
+every SNAPSHOT_ITERS with SNAPSHOT_KEPT retention. LR gamma-decay at the
+STEPSIZE boundaries happens inside the optimizer schedule (a pure function
+of the step, so resume needs no LR bookkeeping and the reference's
+pre-decay snapshot dance at :267-274 is unnecessary).
+
+Observability: losses/LR stream to stdout in the reference's format and to
+a metrics JSONL file (the TensorBoard-equivalent channel; see
+utils/metrics.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tf_faster_rcnn_tpu.config import canvas_hw, cfg
+from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
+from tf_faster_rcnn_tpu.data.roidb import filter_roidb
+from tf_faster_rcnn_tpu.engine.losses import detection_losses
+from tf_faster_rcnn_tpu.engine.train import (TrainState, create_train_state,
+                                             lr_schedule, make_train_step)
+from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+from tf_faster_rcnn_tpu.utils import checkpoint as ckpt
+from tf_faster_rcnn_tpu.utils.metrics import MetricsWriter
+from tf_faster_rcnn_tpu.utils.timer import Timer
+
+__all__ = ["SolverWrapper", "train_net"]
+
+
+class SolverWrapper(object):
+    def __init__(self, network_name, imdb, roidb, valroidb, output_dir,
+                 tb_dir, pretrained_model=None, mesh=None):
+        self.net_name = network_name
+        self.imdb = imdb
+        self.roidb = roidb
+        self.valroidb = valroidb
+        self.output_dir = output_dir
+        self.tb_dir = tb_dir
+        self.pretrained_model = pretrained_model
+        self.mesh = mesh
+
+    def construct(self):
+        np.random.seed(cfg.RNG_SEED)
+        self.spec = spec_from_cfg(self.net_name, self.imdb.num_classes,
+                                  "TRAIN")
+        self.model = FasterRCNN(self.spec)
+        canvas = canvas_hw(cfg.TRAIN)
+        b = int(cfg.TPU.IMS_PER_DEVICE) * (
+            len(self.mesh.devices.flat) if self.mesh is not None else 1)
+        self.batch_size = b
+        dummy = {
+            "image": np.zeros((1,) + canvas + (3,), np.float32),
+            "im_info": np.array([[canvas[0], canvas[1], 1.0]], np.float32),
+            "gt_boxes": np.zeros((1, cfg.TPU.MAX_GT, 5), np.float32),
+            "gt_valid": np.zeros((1, cfg.TPU.MAX_GT), bool),
+        }
+        key = jax.random.PRNGKey(cfg.RNG_SEED)
+        params = self.model.init(
+            {"params": key, "sampling": key, "dropout": key},
+            dummy["image"], dummy["im_info"], dummy["gt_boxes"],
+            dummy["gt_valid"])
+        if self.pretrained_model:
+            from tf_faster_rcnn_tpu.utils.slim_import import \
+                load_pretrained_into
+            params = load_pretrained_into(params, self.pretrained_model,
+                                          self.net_name)
+            print(f"Loaded pretrained weights from {self.pretrained_model}")
+        self.state = create_train_state(self.spec, params,
+                                        jax.random.PRNGKey(cfg.RNG_SEED + 1))
+        self.lr_fn = lr_schedule(float(cfg.TRAIN.LEARNING_RATE),
+                                 float(cfg.TRAIN.GAMMA),
+                                 list(cfg.TRAIN.STEPSIZE))
+        self.step_fn = make_train_step(
+            self.model, self.spec,
+            weight_decay=float(cfg.TRAIN.WEIGHT_DECAY),
+            mobile_weight_decay=float(cfg.MOBILENET.WEIGHT_DECAY),
+            bias_decay=bool(cfg.TRAIN.BIAS_DECAY),
+            lr_fn=self.lr_fn)
+
+        # eval-style val forward for the periodic summary
+        val_spec = self.spec
+        val_model = self.model
+
+        @jax.jit
+        def val_losses(params, batch, key):
+            out = val_model.apply(
+                params, batch["image"], batch["im_info"], batch["gt_boxes"],
+                batch["gt_valid"],
+                rngs={"sampling": key, "dropout": jax.random.fold_in(key, 1)})
+            return detection_losses(out, val_spec)
+
+        self.val_loss_fn = val_losses
+
+    def snapshot(self):
+        prefix = cfg.TRAIN.SNAPSHOT_PREFIX
+        ckpt.snapshot(self.output_dir, prefix, self.state,
+                      {"train": self.data_layer.get_state(),
+                       "val": self.data_layer_val.get_state()})
+        ckpt.remove_old_snapshots(self.output_dir, prefix,
+                                  int(cfg.TRAIN.SNAPSHOT_KEPT))
+
+    def train_model(self, max_iters):
+        self.construct()
+        canvas = canvas_hw(cfg.TRAIN)
+        self.data_layer = RoIDataLayer(self.roidb,
+                                       batch_size=self.batch_size,
+                                       canvas_hw=canvas)
+        self.data_layer_val = RoIDataLayer(self.valroidb, random=True,
+                                           batch_size=self.batch_size,
+                                           canvas_hw=canvas)
+
+        # resume from the newest snapshot if present
+        prev = ckpt.find_previous(self.output_dir, cfg.TRAIN.SNAPSHOT_PREFIX)
+        if prev is not None:
+            step, sp, mp = prev
+            self.state = ckpt.restore(self.state, sp)
+            meta = ckpt.restore_meta(mp)
+            self.data_layer.set_state(meta["data_state"]["train"])
+            self.data_layer_val.set_state(meta["data_state"]["val"])
+            np.random.set_state(meta["np_rng_state"])
+            print(f"Restored from iter {step}")
+
+        writer = MetricsWriter(self.tb_dir)
+        timer = Timer()
+        last_summary_time = time.time()
+        state = self.state
+        if self.mesh is not None:
+            from tf_faster_rcnn_tpu.parallel.mesh import replicate
+            state = replicate(self.mesh, state)
+
+        it = int(jax.device_get(state.step))
+        while it < max_iters:
+            timer.tic()
+            batch = self.data_layer.forward()
+            batch.pop("orig_hw", None)
+            if self.mesh is not None:
+                from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(self.mesh, batch)
+            state, metrics = self.step_fn(state, batch)
+            it += 1
+            timer.toc()
+
+            now = time.time()
+            if it == 1 or now - last_summary_time > cfg.TRAIN.SUMMARY_INTERVAL:
+                m = {k: float(v) for k, v in metrics.items()}
+                writer.write(it, m, prefix="train")
+                val_batch = self.data_layer_val.forward()
+                val_batch.pop("orig_hw", None)
+                vl = self.val_loss_fn(state.params, val_batch,
+                                      jax.random.PRNGKey(it))
+                writer.write(it, {k: float(v) for k, v in vl.items()},
+                             prefix="val")
+                last_summary_time = now
+
+            if it % cfg.TRAIN.DISPLAY == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print('iter: %d / %d, total loss: %.6f\n '
+                      '>>> rpn_loss_cls: %.6f\n '
+                      '>>> rpn_loss_box: %.6f\n '
+                      '>>> loss_cls: %.6f\n '
+                      '>>> loss_box: %.6f\n >>> lr: %f' %
+                      (it, max_iters, m["total_loss"],
+                       m["rpn_cross_entropy"], m["rpn_loss_box"],
+                       m["cross_entropy"], m["loss_box"],
+                       m.get("learning_rate", 0.0)))
+                print('speed: {:.3f}s / iter'.format(timer.average_time))
+
+            if it % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+                self.state = state
+                self.snapshot()
+
+        self.state = state
+        if max_iters % cfg.TRAIN.SNAPSHOT_ITERS != 0:
+            self.snapshot()
+        writer.close()
+        return state
+
+
+def get_training_roidb(imdb):
+    """Flip-augment + enrich (reference train_val.py:324-335)."""
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    if cfg.TRAIN.USE_FLIPPED:
+        print('Appending horizontally-flipped training examples...')
+        imdb.append_flipped_images()
+        print('done')
+    print('Preparing training data...')
+    prepare_roidb(imdb)
+    print('done')
+    return imdb.roidb
+
+
+def train_net(network_name, imdb, roidb, valroidb, output_dir, tb_dir,
+              pretrained_model=None, max_iters=40000, mesh=None):
+    """Train a Faster R-CNN network (reference train_val.py:363-378)."""
+    roidb = filter_roidb(roidb)
+    valroidb = filter_roidb(valroidb)
+    sw = SolverWrapper(network_name, imdb, roidb, valroidb, output_dir,
+                       tb_dir, pretrained_model=pretrained_model, mesh=mesh)
+    print('Solving...')
+    state = sw.train_model(max_iters)
+    print('done solving')
+    return state

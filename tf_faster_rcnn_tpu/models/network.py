@@ -311,7 +311,8 @@ def trainable_mask(params, spec: ModelSpec):
 
     def decide(path) -> bool:
         keys = [getattr(p, "key", str(p)) for p in path]
-        p = "/".join(keys)
+        if keys and keys[0] == "params":  # full variables dict passed
+            keys = keys[1:]
         if keys and keys[0] in ("head", "tail"):
             if spec.backbone == "vgg16":
                 return vgg16.trainable_filter(keys)

@@ -45,7 +45,8 @@ def _pad_to(x, n, axis=0, value=0):
 
 
 def nms_keep_mask(boxes, valid, iou_threshold, *, plus_one=False,
-                  suppress_eq=False, block=128, use_pallas="auto"):
+                  suppress_eq=False, block=128, max_keep=None,
+                  use_pallas="auto"):
     """Greedy NMS keep mask for boxes already sorted by descending score.
 
     boxes: [N, 4]; valid: [N] bool (invalid boxes are never kept and never
@@ -66,7 +67,7 @@ def nms_keep_mask(boxes, valid, iou_threshold, *, plus_one=False,
         from tf_faster_rcnn_tpu.ops.pallas_nms import pallas_nms_keep_mask
         keep = pallas_nms_keep_mask(
             boxes, valid, float(iou_threshold),
-            plus_one=plus_one, suppress_eq=suppress_eq)
+            plus_one=plus_one, suppress_eq=suppress_eq, max_keep=max_keep)
         return keep[:n0]
 
     thresh = jnp.float32(iou_threshold)
@@ -102,7 +103,10 @@ def nms_keep_mask(boxes, valid, iou_threshold, *, plus_one=False,
 @functools.lru_cache(maxsize=1)
 def _pallas_available():
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
+        from tf_faster_rcnn_tpu.ops import pallas_nms  # noqa: F401
+        return True
     except Exception:
         return False
 
@@ -143,7 +147,7 @@ def sorted_nms(boxes, scores, valid, iou_threshold, max_out, *,
     valid_s = top_scores > _NEG / 2
     keep = nms_keep_mask(boxes_s, valid_s, iou_threshold,
                          plus_one=plus_one, suppress_eq=suppress_eq,
-                         use_pallas=use_pallas)
+                         max_keep=max_out, use_pallas=use_pallas)
     sel, out_valid = select_top_k_mask(keep, max_out)
     return jnp.take(order, sel), out_valid
 

@@ -1,0 +1,117 @@
+"""Snapshot/resume.
+
+The reference snapshots two files per checkpoint (train_val.py:45-103): the
+TF weights and a pickle of (numpy RNG state, data cursors/permutations, iter
+counter) — and notes that the TF-side RNG is NOT restored (:86-88). Here a
+snapshot is a single msgpack of the full TrainState (params, optimizer
+state, step, *and* the jax PRNG key — closing that reference gap) plus a
+pickle sidecar of the host data-iterator state. Retention keeps the last
+SNAPSHOT_KEPT (:221-240); resume picks the newest by step (find_previous,
+:155-175).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+__all__ = ["snapshot", "restore", "find_previous", "remove_old_snapshots",
+           "save_params", "load_params"]
+
+
+def _state_path(output_dir, prefix, step):
+    return os.path.join(output_dir, f"{prefix}_iter_{step}.msgpack")
+
+
+def _meta_path(output_dir, prefix, step):
+    return os.path.join(output_dir, f"{prefix}_iter_{step}.pkl")
+
+
+def snapshot(output_dir, prefix, state, data_state: dict,
+             extra_meta: Optional[dict] = None) -> Tuple[str, str]:
+    """Write a (state msgpack, host-meta pickle) snapshot pair."""
+    os.makedirs(output_dir, exist_ok=True)
+    step = int(state.step)
+    sp = _state_path(output_dir, prefix, step)
+    with open(sp, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step, "key": state.key}))
+    mp = _meta_path(output_dir, prefix, step)
+    meta = {"data_state": data_state, "np_rng_state": np.random.get_state(),
+            "step": step}
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(mp, "wb") as f:
+        pickle.dump(meta, f, pickle.HIGHEST_PROTOCOL)
+    print(f"Wrote snapshot to: {sp}")
+    return sp, mp
+
+
+def restore(state, path: str):
+    """Restore a TrainState from a snapshot msgpack (structure-checked)."""
+    with open(path, "rb") as f:
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step, "key": state.key}
+        loaded = serialization.from_bytes(target, f.read())
+    return state.replace(params=loaded["params"],
+                         opt_state=loaded["opt_state"],
+                         step=loaded["step"], key=loaded["key"])
+
+
+def restore_meta(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def find_previous(output_dir, prefix):
+    """Newest snapshot pair (by step), skipping steps that sit exactly on an
+    LR boundary like the reference (train_val.py:160-164). Returns
+    (step, state_path, meta_path) or None."""
+    from tf_faster_rcnn_tpu.config import cfg
+    pattern = os.path.join(output_dir, f"{prefix}_iter_*.msgpack")
+    steps = []
+    for p in glob.glob(pattern):
+        m = re.search(r"_iter_(\d+)\.msgpack$", p)
+        if m:
+            steps.append(int(m.group(1)))
+    redfiles = {int(s) for s in cfg.TRAIN.STEPSIZE}
+    steps = sorted(s for s in steps if s not in redfiles)
+    if not steps:
+        return None
+    s = steps[-1]
+    return s, _state_path(output_dir, prefix, s), _meta_path(output_dir,
+                                                             prefix, s)
+
+
+def remove_old_snapshots(output_dir, prefix, keep: int):
+    pattern = os.path.join(output_dir, f"{prefix}_iter_*.msgpack")
+    entries = []
+    for p in glob.glob(pattern):
+        m = re.search(r"_iter_(\d+)\.msgpack$", p)
+        if m:
+            entries.append((int(m.group(1)), p))
+    entries.sort()
+    for step, p in entries[:-keep] if keep > 0 else []:
+        for path in (p, _meta_path(output_dir, prefix, step)):
+            if os.path.exists(path):
+                os.remove(path)
+
+
+def save_params(path, params):
+    """Standalone parameter export (for demo/test_net consumption)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path, params_template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(params_template, f.read())

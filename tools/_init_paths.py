@@ -1,0 +1,8 @@
+"""Make the repo importable when tools are run as scripts."""
+
+import os.path as osp
+import sys
+
+repo_root = osp.abspath(osp.join(osp.dirname(__file__), '..'))
+if repo_root not in sys.path:
+    sys.path.insert(0, repo_root)

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Demo: run Faster R-CNN detection on the bundled demo images.
+
+CLI parity with /root/reference/tools/demo.py:113-155: loads a model (our
+params msgpack or a converted reference checkpoint), runs im_detect per
+image, per-class visualization at CONF_THRESH=0.8. Images default to the
+read-only reference demo set. Output figures are saved (headless) instead
+of shown.
+"""
+
+import argparse
+import os
+import os.path as osp
+
+import _init_paths  # noqa: F401
+import numpy as np
+
+import matplotlib
+matplotlib.use('Agg')
+import matplotlib.pyplot as plt  # noqa: E402
+
+from tf_faster_rcnn_tpu.config import canvas_hw, cfg, cfg_from_file  # noqa: E402
+from tf_faster_rcnn_tpu.data.blob import read_image_bgr  # noqa: E402
+from tf_faster_rcnn_tpu.datasets.pascal_voc import VOC_CLASSES  # noqa: E402
+from tf_faster_rcnn_tpu.engine.test_engine import im_detect, make_detect_fn  # noqa: E402
+from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg  # noqa: E402
+from tf_faster_rcnn_tpu.utils.timer import Timer  # noqa: E402
+
+CONF_THRESH = 0.8
+DEFAULT_DEMO_DIR = '/root/reference/data/demo'
+
+
+def vis_detections(ax, class_name, dets, thresh=0.5):
+    inds = np.where(dets[:, -1] >= thresh)[0]
+    if len(inds) == 0:
+        return
+    for i in inds:
+        bbox = dets[i, :4]
+        score = dets[i, -1]
+        ax.add_patch(plt.Rectangle((bbox[0], bbox[1]),
+                                   bbox[2] - bbox[0], bbox[3] - bbox[1],
+                                   fill=False, edgecolor='red',
+                                   linewidth=3.5))
+        ax.text(bbox[0], bbox[1] - 2,
+                '{:s} {:.3f}'.format(class_name, score),
+                bbox=dict(facecolor='blue', alpha=0.5),
+                fontsize=14, color='white')
+
+
+def demo(detect_fn, params, image_path, out_dir):
+    im = read_image_bgr(image_path)
+    timer = Timer()
+    timer.tic()
+    dets, _ = im_detect(detect_fn, params, im)
+    timer.toc()
+    print('Detection took {:.3f}s for {:d} object proposals'.format(
+        timer.total_time, len(dets)))
+
+    fig, ax = plt.subplots(figsize=(12, 12))
+    ax.imshow(im[:, :, ::-1], aspect='equal')
+    for row in dets:
+        c, score = int(row[0]), row[1]
+        if score < CONF_THRESH:
+            continue
+        vis_detections(ax, VOC_CLASSES[c],
+                       np.array([[row[2], row[3], row[4], row[5], score]]),
+                       CONF_THRESH)
+    plt.axis('off')
+    plt.tight_layout()
+    out = osp.join(out_dir, 'det_' + osp.basename(image_path) + '.png')
+    plt.savefig(out)
+    plt.close(fig)
+    print('Saved ' + out)
+
+
+def main():
+    parser = argparse.ArgumentParser(description='Faster R-CNN demo')
+    parser.add_argument('--net', dest='net', default='res101',
+                        choices=('vgg16', 'res50', 'res101', 'res152',
+                                 'mobile'))
+    parser.add_argument('--model', dest='model', default=None,
+                        help='params msgpack or slim var dict')
+    parser.add_argument('--cfg', dest='cfg_file', default=None)
+    parser.add_argument('--demo-dir', default=DEFAULT_DEMO_DIR)
+    parser.add_argument('--out-dir', default='demo_out')
+    args = parser.parse_args()
+
+    if args.cfg_file:
+        cfg_from_file(args.cfg_file)
+
+    spec = spec_from_cfg(args.net, 21, 'TEST')
+    model = FasterRCNN(spec)
+    from tools.test_net import load_model_params
+    params = load_model_params(args.model, model, spec, args.net,
+                               canvas_hw(cfg.TEST))
+    detect_fn = make_detect_fn(model, spec)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    im_names = sorted(f for f in os.listdir(args.demo_dir)
+                      if f.endswith(('.jpg', '.png')))
+    for im_name in im_names:
+        print('~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~')
+        print('Demo for {}'.format(im_name))
+        demo(detect_fn, params, osp.join(args.demo_dir, im_name),
+             args.out_dir)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Test a Faster R-CNN network on an image database.
+
+CLI parity with /root/reference/tools/test_net.py:23-122: --cfg --model
+--imdb --comp --num_dets --tag --net --set. --model points at a params
+msgpack (from training snapshots or save_params) or a slim var-dict
+.npz/.pkl to convert on the fly.
+"""
+
+import argparse
+import pprint
+import sys
+
+import _init_paths  # noqa: F401
+import numpy as np
+
+from tf_faster_rcnn_tpu.config import cfg, cfg_from_file, cfg_from_list
+from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+from tf_faster_rcnn_tpu.engine.test_engine import test_net
+from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+
+NETS = ('vgg16', 'res50', 'res101', 'res152', 'mobile')
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Test a Faster R-CNN network')
+    parser.add_argument('--cfg', dest='cfg_file', default=None)
+    parser.add_argument('--model', dest='model', default=None,
+                        help='model params to test (.msgpack params or slim '
+                             'var dict .npz/.pkl)')
+    parser.add_argument('--imdb', dest='imdb_name', default='voc_2007_test')
+    parser.add_argument('--comp', dest='comp_mode', action='store_true',
+                        help='competition mode')
+    parser.add_argument('--num_dets', dest='max_per_image', default=100,
+                        type=int, help='max number of detections per image')
+    parser.add_argument('--tag', dest='tag', default='')
+    parser.add_argument('--net', dest='net', default='res50', choices=NETS)
+    parser.add_argument('--set', dest='set_cfgs', default=None,
+                        nargs=argparse.REMAINDER)
+    if len(sys.argv) == 1:
+        parser.print_help()
+        sys.exit(1)
+    return parser.parse_args()
+
+
+def load_model_params(model_path, model, spec, net, canvas):
+    import jax
+    dummy = np.zeros((1, canvas[0], canvas[1], 3), np.float32)
+    info = np.array([[canvas[0], canvas[1], 1.0]], np.float32)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), dummy, info))
+    params = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), params)
+    if model_path is None:
+        print('No model given, testing with random initialization '
+              '(reference behavior, test_net.py:116-118)')
+        import jax.random as jr
+        return model.init(jr.PRNGKey(cfg.RNG_SEED), dummy, info)
+    if model_path.endswith('.msgpack'):
+        from tf_faster_rcnn_tpu.utils.checkpoint import load_params
+        loaded = load_params(model_path, params)
+        # training snapshots store the full state; bare params also work
+        return loaded.get('params', loaded) if isinstance(loaded, dict) \
+            and 'params' in loaded else loaded
+    from tf_faster_rcnn_tpu.utils.slim_import import load_pretrained_into
+    return load_pretrained_into(params, model_path, net)
+
+
+def main():
+    args = parse_args()
+    print('Called with args:')
+    print(args)
+
+    if args.cfg_file is not None:
+        cfg_from_file(args.cfg_file)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs)
+
+    print('Using config:')
+    pprint.pprint(cfg)
+
+    imdb = get_imdb(args.imdb_name)
+    imdb.competition_mode(args.comp_mode)
+
+    from tf_faster_rcnn_tpu.config import canvas_hw
+    spec = spec_from_cfg(args.net, imdb.num_classes, 'TEST')
+    model = FasterRCNN(spec)
+    params = load_model_params(args.model, model, spec, args.net,
+                               canvas_hw(cfg.TEST))
+
+    filename = (args.model or 'random').split('/')[-1] + args.tag
+    test_net(model, spec, params, imdb, filename,
+             max_per_image=args.max_per_image)
+
+
+if __name__ == '__main__':
+    main()
