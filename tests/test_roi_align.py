@@ -95,3 +95,11 @@ def test_roi_crop_pool_max_pool_path(rng):
     big = np.asarray(roi_crop_pool(feats, rois, 16, 14, max_pool=False))
     manual = big.reshape(1, 1, 7, 2, 7, 2, 2).max(axis=(3, 5))
     np.testing.assert_allclose(out, manual, rtol=1e-5)
+
+
+def test_gather_and_einsum_methods_agree(rng):
+    img = rng.randn(24, 30, 8).astype(np.float32)
+    boxes = rng.uniform(-0.2, 1.2, (20, 4)).astype(np.float32)
+    a = np.asarray(crop_and_resize(img, boxes, (7, 7), method="gather"))
+    b = np.asarray(crop_and_resize(img, boxes, (7, 7), method="einsum"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -166,6 +166,11 @@ def _default_cfg() -> AttrDict:
     C.TPU.MAX_PER_IMAGE = 100
     # Use the Pallas NMS kernel when on TPU (fallback: pure-jnp block NMS).
     C.TPU.USE_PALLAS_NMS = True
+    # Host-side minibatch prefetch depth (0 = synchronous, like the
+    # reference; its USE_PREFETCH comment was never implemented).
+    C.TPU.PREFETCH = 2
+    # Directory for jax.profiler traces of the train step (empty = off).
+    C.TPU.PROFILE_DIR = ''
 
     return C
 

@@ -15,6 +15,8 @@ reference's hard-coded single image.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from typing import Dict, Optional, Tuple
 
@@ -139,3 +141,65 @@ class RoIDataLayer(object):
         self._cur = int(state["cur"])
         self._perm = np.asarray(state["perm"])
         self._rng.set_state(state["rng_state"])
+
+
+class PrefetchingDataLayer(object):
+    """Background-thread prefetch wrapper around RoIDataLayer.
+
+    The reference left prefetching as an unimplemented comment
+    (lib/roi_data_layer/layer.py:78-79); image decode/resize there runs
+    synchronously inside the train loop. This wrapper overlaps the host-side
+    minibatch build with device compute via a bounded queue.
+
+    Checkpointing note: get_state() drains nothing — it snapshots the inner
+    layer's state *before* prefetched batches were consumed, so resume
+    replays at most `depth` batches (sampling noise only, like the
+    reference's own acknowledged RNG-restore slack, train_val.py:86-88).
+    """
+
+    def __init__(self, inner: RoIDataLayer, depth: int = 2):
+        self._inner = inner
+        self._queue = queue.Queue(maxsize=depth)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            with self._lock:
+                state = self._inner.get_state()
+                batch = self._inner.forward()
+            # put outside the lock: a blocking put while holding the lock
+            # would deadlock against set_state's drain-under-lock
+            while not self._stop.is_set():
+                try:
+                    self._queue.put((state, batch), timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def forward(self) -> Dict:
+        self._last_state, batch = self._queue.get()
+        return batch
+
+    def get_state(self) -> Dict:
+        return getattr(self, "_last_state", self._inner.get_state())
+
+    def set_state(self, state: Dict):
+        with self._lock:
+            # drain prefetched batches built from the old state
+            while not self._queue.empty():
+                try:
+                    self._queue.get_nowait()
+                except queue.Empty:
+                    break
+            self._inner.set_state(state)
+
+    def close(self):
+        self._stop.set()
+        while not self._queue.empty():
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break

@@ -37,8 +37,12 @@ def multiclass_nms(boxes, scores, valid, nms_thresh, *, plus_one=True,
 
     def one_class(b, s, v):
         v = v & (s > score_thresh)
+        # many small NMS instances: the batched-jnp path vectorizes across
+        # the vmap (classes x batch) while vmapped Pallas kernels serialize
+        # into per-instance launches (measured 6.5 ms vs 57 ms for 160
+        # instances of 300 boxes on v5e)
         idx, ok = sorted_nms(b, s, v, nms_thresh, r, plus_one=plus_one,
-                             suppress_eq=False)
+                             suppress_eq=False, use_pallas=False)
         # padded slots alias a real index (ok=False); route them out of
         # range so mode="drop" discards them instead of clobbering
         safe_idx = jnp.where(ok, idx, r)

@@ -120,6 +120,10 @@ class SolverWrapper(object):
         self.data_layer_val = RoIDataLayer(self.valroidb, random=True,
                                            batch_size=self.batch_size,
                                            canvas_hw=canvas)
+        if int(cfg.TPU.PREFETCH) > 0:
+            from tf_faster_rcnn_tpu.data.loader import PrefetchingDataLayer
+            self.data_layer = PrefetchingDataLayer(self.data_layer,
+                                                   depth=int(cfg.TPU.PREFETCH))
 
         # resume from the newest snapshot if present
         prev = ckpt.find_previous(self.output_dir, cfg.TRAIN.SNAPSHOT_PREFIX)
@@ -140,8 +144,14 @@ class SolverWrapper(object):
             from tf_faster_rcnn_tpu.parallel.mesh import replicate
             state = replicate(self.mesh, state)
 
+        profile_dir = str(cfg.TPU.PROFILE_DIR)
         it = int(jax.device_get(state.step))
         while it < max_iters:
+            if profile_dir and it == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and it == 15:
+                jax.profiler.stop_trace()
+                print(f"Wrote profiler trace (iters 10-15) to {profile_dir}")
             timer.tic()
             batch = self.data_layer.forward()
             batch.pop("orig_hw", None)
