@@ -173,3 +173,18 @@ def test_test_mode_unnormalizes_bbox_pred(rng):
     np.testing.assert_allclose(np.asarray(out2["bbox_pred"]),
                                np.asarray(out1["bbox_pred"]) * 2.0,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_max_pool_variant(rng):
+    """RESNET.MAX_POOL=True crops 14x14 then max-pools (resnet_v1.py:68-72);
+    both variants produce the same shapes and differ numerically."""
+    img, im_info, _, _ = _inputs(rng)
+    spec_a = _small(spec_from_cfg("res50", 21, "TEST"))
+    spec_b = dataclasses.replace(spec_a, resnet_max_pool=True)
+    m_a, m_b = FasterRCNN(spec_a), FasterRCNN(spec_b)
+    params = m_a.init(jax.random.PRNGKey(0), img, im_info)
+    out_a = m_a.apply(params, img, im_info)
+    out_b = m_b.apply(params, img, im_info)
+    assert out_a["cls_prob"].shape == out_b["cls_prob"].shape
+    assert not np.allclose(np.asarray(out_a["cls_score"]),
+                           np.asarray(out_b["cls_score"]))

@@ -165,3 +165,19 @@ def test_training_loop_snapshot_and_resume(mini_voc):
     state2 = train_net('vgg16', imdb, roidb, list(roidb), out_dir, tb_dir,
                        max_iters=7)
     assert int(state2.step) == 7
+
+
+def test_aspect_grouping_permutation(mini_voc):
+    """ASPECT_GROUPING pairs same-orientation images (layer.py:43-56)."""
+    from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    cfg.TRAIN.ASPECT_GROUPING = True
+    imdb = get_imdb('voc_2007_trainval')
+    imdb.set_proposal_method('gt')
+    prepare_roidb(imdb)
+    layer = RoIDataLayer(imdb.roidb, batch_size=2)
+    assert len(layer._perm) == len(imdb.roidb)
+    assert sorted(layer._perm.tolist()) == list(range(len(imdb.roidb)))
+    batch = layer.forward()
+    assert batch['image'].shape[0] == 2

@@ -28,14 +28,15 @@ from tf_faster_rcnn_tpu.datasets.imdb import imdb
 
 
 def _require_pycocotools():
+    """Real pycocotools when installed, else the bundled pure-numpy bbox
+    implementation (datasets/pycoco_lite.py)."""
     try:
         from pycocotools.coco import COCO
         from pycocotools.cocoeval import COCOeval
         return COCO, COCOeval
-    except ImportError as e:
-        raise ImportError(
-            "pycocotools is required for the COCO dataset; install it or "
-            "use a VOC imdb") from e
+    except ImportError:
+        from tf_faster_rcnn_tpu.datasets.pycoco_lite import COCO, COCOeval
+        return COCO, COCOeval
 
 
 class coco(imdb):

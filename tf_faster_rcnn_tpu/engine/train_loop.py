@@ -103,6 +103,24 @@ class SolverWrapper(object):
 
         self.val_loss_fn = val_losses
 
+    def _write_gt_image(self, batch, it):
+        """GT-boxes-drawn image summary (the reference's GROUND_TRUTH image
+        summary, network.py:47-55) saved as a PNG in the metrics dir."""
+        try:
+            from PIL import Image
+            from tf_faster_rcnn_tpu.utils.visualization import \
+                draw_bounding_boxes
+            img = jax.device_get(batch["image"])[0] + cfg.PIXEL_MEANS
+            img = img[:, :, ::-1]  # BGR -> RGB
+            gt = jax.device_get(batch["gt_boxes"])[0]
+            gv = jax.device_get(batch["gt_valid"])[0]
+            info = jax.device_get(batch["im_info"])[0]
+            out = draw_bounding_boxes(img, gt[gv], (info[0], info[1], 1.0))
+            Image.fromarray(np.uint8(np.clip(out, 0, 255))).save(
+                os.path.join(self.tb_dir, f"gt_image_iter_{it}.png"))
+        except Exception as e:
+            print(f"gt image summary skipped: {e}")
+
     def snapshot(self):
         prefix = cfg.TRAIN.SNAPSHOT_PREFIX
         ckpt.snapshot(self.output_dir, prefix, self.state,
@@ -172,6 +190,7 @@ class SolverWrapper(object):
                                       jax.random.PRNGKey(it))
                 writer.write(it, {k: float(v) for k, v in vl.items()},
                              prefix="val")
+                self._write_gt_image(batch, it)
                 last_summary_time = now
 
             if it % cfg.TRAIN.DISPLAY == 0:

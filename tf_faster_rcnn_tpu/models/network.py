@@ -127,21 +127,25 @@ def spec_from_cfg(backbone: str, num_classes: int, mode: str) -> ModelSpec:
     )
 
 
+def build_head(spec: "ModelSpec", name: Optional[str] = "head"):
+    """Backbone head module for a spec (standalone-appliable with name=None)."""
+    dt = spec.dtype
+    if spec.backbone == "vgg16":
+        return vgg16.VGG16Head(dtype=dt, name=name)
+    if spec.backbone in ("res50", "res101", "res152"):
+        return resnet_v1.ResNetV1Head(int(spec.backbone[3:]), dtype=dt,
+                                      name=name)
+    if spec.backbone == "mobile":
+        return mobilenet_v1.MobileNetV1Head(spec.depth_multiplier, dtype=dt,
+                                            name=name)
+    raise ValueError(f"unknown backbone {spec.backbone}")
+
+
 class FasterRCNN(nn.Module):
     spec: ModelSpec
 
     def _head(self):
-        s = self.spec
-        dt = s.dtype
-        if s.backbone == "vgg16":
-            return vgg16.VGG16Head(dtype=dt, name="head")
-        if s.backbone in ("res50", "res101", "res152"):
-            return resnet_v1.ResNetV1Head(int(s.backbone[3:]), dtype=dt,
-                                          name="head")
-        if s.backbone == "mobile":
-            return mobilenet_v1.MobileNetV1Head(s.depth_multiplier, dtype=dt,
-                                                name="head")
-        raise ValueError(f"unknown backbone {s.backbone}")
+        return build_head(self.spec)
 
     def _tail(self, train: bool):
         s = self.spec
@@ -297,6 +301,16 @@ class FasterRCNN(nn.Module):
             "bbox_pred": bbox_pred,          # [B, R, 4K]
         })
         return out
+
+
+def extract_head(model: FasterRCNN, params, image):
+    """Head feature maps only (the reference's Network.extract_head,
+    network.py:462-467) — useful for activation-parity checks against
+    converted checkpoints."""
+    s = model.spec
+    head = build_head(s, name=None)  # standalone module, no parent scope
+    head_params = {"params": params["params"]["head"]}
+    return head.apply(head_params, jnp.asarray(image).astype(s.dtype))
 
 
 def trainable_mask(params, spec: ModelSpec):

@@ -85,6 +85,9 @@ def main():
     parser.add_argument('--out-dir', default='demo_out')
     args = parser.parse_args()
 
+    from tf_faster_rcnn_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.cfg_file:
         cfg_from_file(args.cfg_file)
 

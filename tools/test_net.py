@@ -68,6 +68,8 @@ def load_model_params(model_path, model, spec, net, canvas):
 
 def main():
     args = parse_args()
+    from tf_faster_rcnn_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     print('Called with args:')
     print(args)
 

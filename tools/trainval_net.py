@@ -78,6 +78,8 @@ def combined_roidb(imdb_names):
 
 def main():
     args = parse_args()
+    from tf_faster_rcnn_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     print('Called with args:')
     print(args)
 
