@@ -86,9 +86,16 @@ def crop_and_resize(image, boxes, crop_size, method: str = "einsum"):
     if method == "einsum":
         wy = _axis_weights(boxes[:, 0], boxes[:, 2], h, crop_h, dtype)
         wx = _axis_weights(boxes[:, 1], boxes[:, 3], w, crop_w, dtype)
-        tmp = jnp.einsum("rih,hwc->riwc", wy, image,
+        # contract the axis that leaves the smaller intermediate first —
+        # the [R, crop, other_axis, C] tmp dominates HBM traffic
+        if crop_h * w <= crop_w * h:
+            tmp = jnp.einsum("rih,hwc->riwc", wy, image,
+                             preferred_element_type=dtype)
+            return jnp.einsum("rjw,riwc->rijc", wx, tmp,
+                              preferred_element_type=dtype)
+        tmp = jnp.einsum("rjw,hwc->rjhc", wx, image,
                          preferred_element_type=dtype)
-        return jnp.einsum("rjw,riwc->rijc", wx, tmp,
+        return jnp.einsum("rih,rjhc->rijc", wy, tmp,
                           preferred_element_type=dtype)
 
     y0, fy, oky = _axis_samples(boxes[:, 0], boxes[:, 2], h, crop_h)
