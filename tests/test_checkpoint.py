@@ -1,0 +1,69 @@
+"""Snapshot/restore roundtrips, retention, LR-boundary skip, and the
+flexible params loader (bare export vs training snapshot)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_faster_rcnn_tpu.config import cfg
+from tf_faster_rcnn_tpu.engine.train import TrainState
+from tf_faster_rcnn_tpu.utils import checkpoint as ckpt
+
+
+def _state(step=0):
+    import optax
+    params = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                         "b": jnp.ones((3,)) * step}}
+    tx = optax.sgd(0.1, momentum=0.9)
+    return TrainState(step=jnp.asarray(step, jnp.int32), params=params,
+                      opt_state=tx.init(params), key=jax.random.PRNGKey(step),
+                      tx=tx)
+
+
+def test_snapshot_restore_roundtrip(tmp_path):
+    s = _state(7)
+    data_state = {"cur": 3, "perm": np.arange(5),
+                  "rng_state": np.random.RandomState(0).get_state()}
+    sp, mp = ckpt.snapshot(str(tmp_path), "net", s, data_state)
+    s2 = ckpt.restore(_state(0), sp)
+    assert int(s2.step) == 7
+    np.testing.assert_array_equal(np.asarray(s2.params["params"]["b"]),
+                                  np.ones(3) * 7)
+    np.testing.assert_array_equal(np.asarray(s2.key), np.asarray(s.key))
+    meta = ckpt.restore_meta(mp)
+    assert meta["data_state"]["cur"] == 3
+
+
+def test_find_previous_skips_lr_boundaries(tmp_path):
+    cfg.TRAIN.STEPSIZE = [20]
+    for step in (10, 20, 15):
+        ckpt.snapshot(str(tmp_path), "net", _state(step), {})
+    found = ckpt.find_previous(str(tmp_path), "net")
+    assert found is not None and found[0] == 15  # 20 skipped (boundary)
+
+
+def test_retention(tmp_path):
+    for step in (1, 2, 3, 4, 5):
+        ckpt.snapshot(str(tmp_path), "net", _state(step), {})
+    ckpt.remove_old_snapshots(str(tmp_path), "net", keep=2)
+    left = sorted(f for f in os.listdir(tmp_path) if f.endswith(".msgpack"))
+    assert left == ["net_iter_4.msgpack", "net_iter_5.msgpack"]
+    assert not os.path.exists(tmp_path / "net_iter_1.pkl")
+
+
+def test_load_params_accepts_both_formats(tmp_path):
+    s = _state(9)
+    # format 1: bare params export
+    bare = str(tmp_path / "bare.msgpack")
+    ckpt.save_params(bare, s.params)
+    template = jax.tree_util.tree_map(jnp.zeros_like, s.params)
+    p1 = ckpt.load_params(bare, template)
+    np.testing.assert_array_equal(np.asarray(p1["params"]["b"]),
+                                  np.ones(3) * 9)
+    # format 2: full training snapshot
+    sp, _ = ckpt.snapshot(str(tmp_path), "net", s, {})
+    p2 = ckpt.load_params(sp, template)
+    np.testing.assert_array_equal(np.asarray(p2["params"]["b"]),
+                                  np.ones(3) * 9)

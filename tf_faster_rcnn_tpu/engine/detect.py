@@ -12,8 +12,6 @@ output is a fixed [max_per_image, 6] slab with a validity mask.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

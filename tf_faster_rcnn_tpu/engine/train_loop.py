@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional
-
 import jax
 import numpy as np
 
@@ -29,7 +27,7 @@ from tf_faster_rcnn_tpu.config import canvas_hw, cfg
 from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
 from tf_faster_rcnn_tpu.data.roidb import filter_roidb
 from tf_faster_rcnn_tpu.engine.losses import detection_losses
-from tf_faster_rcnn_tpu.engine.train import (TrainState, create_train_state,
+from tf_faster_rcnn_tpu.engine.train import (create_train_state,
                                              lr_schedule, make_train_step)
 from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 from tf_faster_rcnn_tpu.utils import checkpoint as ckpt

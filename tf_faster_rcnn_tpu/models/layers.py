@@ -17,7 +17,7 @@ weight-parity:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -21,7 +21,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from tf_faster_rcnn_tpu.models import mobilenet_v1, resnet_v1, vgg16
@@ -229,8 +228,12 @@ class FasterRCNN(nn.Module):
         fg_prob = jax.nn.softmax(score_pairs, axis=-1)[..., 1]
 
         rpn_deltas = rpn_bbox_pred.reshape(b, n_anchors, 4).astype(jnp.float32)
+        # proposal selection is not differentiated (the reference's rois feed
+        # host target layers / stop_gradient crop, network.py:153) — and the
+        # Pallas NMS kernel has no JVP rule, so gradients must stop here
         rois, roi_scores, roi_valid = self._proposals(
-            anchors, rpn_deltas, fg_prob, im_info)
+            anchors, jax.lax.stop_gradient(rpn_deltas),
+            jax.lax.stop_gradient(fg_prob), im_info)
 
         out = {
             "rpn_cls_score": score_pairs,    # [B, N, 2]

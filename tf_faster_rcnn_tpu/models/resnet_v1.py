@@ -18,7 +18,7 @@ resnet_v1.bottleneck semantics).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,6 @@ import pickle
 import re
 from typing import Optional, Tuple
 
-import jax
 import numpy as np
 from flax import serialization
 
@@ -113,5 +112,10 @@ def save_params(path, params):
 
 
 def load_params(path, params_template):
+    """Load model params from either a bare save_params export or a full
+    training snapshot (which wraps them as {params, opt_state, step, key})."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(params_template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and {"params", "opt_state", "step"} <= set(raw):
+        raw = raw["params"]
+    return serialization.from_state_dict(params_template, raw)

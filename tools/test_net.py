@@ -57,11 +57,9 @@ def load_model_params(model_path, model, spec, net, canvas):
         import jax.random as jr
         return model.init(jr.PRNGKey(cfg.RNG_SEED), dummy, info)
     if model_path.endswith('.msgpack'):
+        # handles both bare save_params exports and training snapshots
         from tf_faster_rcnn_tpu.utils.checkpoint import load_params
-        loaded = load_params(model_path, params)
-        # training snapshots store the full state; bare params also work
-        return loaded.get('params', loaded) if isinstance(loaded, dict) \
-            and 'params' in loaded else loaded
+        return load_params(model_path, params)
     from tf_faster_rcnn_tpu.utils.slim_import import load_pretrained_into
     return load_pretrained_into(params, model_path, net)
 

@@ -17,7 +17,6 @@ import numpy as np
 from tf_faster_rcnn_tpu.config import (cfg, cfg_from_file, cfg_from_list,
                                        get_output_dir, get_output_tb_dir)
 from tf_faster_rcnn_tpu.datasets.factory import get_imdb
-from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
 from tf_faster_rcnn_tpu.engine.train_loop import get_training_roidb, train_net
 
 NETS = ('vgg16', 'res50', 'res101', 'res152', 'mobile')
