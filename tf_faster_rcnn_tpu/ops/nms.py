@@ -62,7 +62,10 @@ def nms_keep_mask(boxes, valid, iou_threshold, *, plus_one=False,
     valid = _pad_to(valid, n, value=False)
 
     if use_pallas == "auto":
-        use_pallas = _pallas_available()
+        # the dispatch role of the reference's nms_wrapper (USE_GPU_NMS):
+        # Pallas kernel on TPU unless disabled, jnp block NMS otherwise
+        from tf_faster_rcnn_tpu.config import cfg
+        use_pallas = bool(cfg.TPU.USE_PALLAS_NMS) and _pallas_available()
     if use_pallas:
         from tf_faster_rcnn_tpu.ops.pallas_nms import pallas_nms_keep_mask
         keep = pallas_nms_keep_mask(
