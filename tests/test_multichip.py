@@ -101,3 +101,41 @@ def test_graft_entry_forward():
     fn, args = ge.entry()
     out = jax.eval_shape(fn, *args)  # full compile is exercised by driver
     assert out["cls_prob"].shape == (1, 300, 21)
+
+
+def test_dp_eval_matches_single_device(tmp_path):
+    """test_net over a 4-device mesh produces the same detections.pkl as
+    single-device evaluation."""
+    import pickle
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_pipeline import _make_voc, _tiny_cfg
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    from tf_faster_rcnn_tpu.engine.test_engine import test_net
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+
+    _make_voc(str(tmp_path), 'test')
+    _tiny_cfg(tmp_path)
+    imdb = get_imdb('voc_2007_test')
+    spec = spec_from_cfg('vgg16', imdb.num_classes, 'TEST')
+    model = FasterRCNN(spec)
+    dummy = np.zeros((1, 96, 128, 3), np.float32)
+    info = np.array([[96, 128, 1.0]], np.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, info)
+
+    out1 = str(tmp_path / 'single')
+    test_net(model, spec, params, imdb, 'x', max_per_image=10,
+             batch_size=2, output_dir=out1)
+    mesh = make_mesh(4)
+    out2 = str(tmp_path / 'dp')
+    test_net(model, spec, params, imdb, 'x', max_per_image=10,
+             batch_size=4, output_dir=out2, mesh=mesh)
+
+    with open(out1 + '/detections.pkl', 'rb') as f:
+        a = pickle.load(f)
+    with open(out2 + '/detections.pkl', 'rb') as f:
+        b = pickle.load(f)
+    for c in range(1, imdb.num_classes):
+        for i in range(imdb.num_images):
+            np.testing.assert_allclose(a[c][i], b[c][i], rtol=1e-4,
+                                       atol=1e-3)

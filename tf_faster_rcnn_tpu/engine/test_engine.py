@@ -96,9 +96,14 @@ def _slab_to_all_boxes(det, dv, num_classes):
 
 def test_net(model, spec, params, imdb, weights_filename,
              max_per_image: int = 100, thresh: float = 0.0,
-             batch_size: Optional[int] = None, output_dir: Optional[str] = None):
+             batch_size: Optional[int] = None, output_dir: Optional[str] = None,
+             mesh=None):
     """Evaluate a model on an imdb; writes detections.pkl, runs the dataset
-    evaluator, returns its result (mAP for VOC)."""
+    evaluator, returns its result (mAP for VOC).
+
+    With a mesh, evaluation runs data-parallel: the image batch shards over
+    the mesh's data axis with replicated params (the reference has no
+    multi-device eval at all)."""
     from tf_faster_rcnn_tpu.config import get_output_dir
     np.random.seed(cfg.RNG_SEED)
     num_images = imdb.num_images
@@ -109,6 +114,12 @@ def test_net(model, spec, params, imdb, weights_filename,
     os.makedirs(output_dir, exist_ok=True)
     canvas = canvas_hw(cfg.TEST)
     b = batch_size or max(1, int(cfg.TPU.IMS_PER_DEVICE))
+    if mesh is not None:
+        n_dev = len(mesh.devices.flat)
+        b = max(b, n_dev)
+        b -= b % n_dev
+        from tf_faster_rcnn_tpu.parallel.mesh import replicate
+        params = replicate(mesh, params)
 
     detect_fn = make_detect_fn(model, spec, max_per_image, thresh)
 
@@ -121,7 +132,15 @@ def test_net(model, spec, params, imdb, weights_filename,
                 [imdb.image_path_at(idx[-1])] * pad
         _t['im_detect'].tic()
         images, im_info, orig_hw = _prep_batch(paths, canvas)
-        det, dv = detect_fn(params, images, im_info, orig_hw)
+        if mesh is not None:
+            from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
+            sharded = shard_batch(mesh, {"image": images, "im_info": im_info,
+                                         "orig_hw": orig_hw})
+            with mesh:
+                det, dv = detect_fn(params, sharded["image"],
+                                    sharded["im_info"], sharded["orig_hw"])
+        else:
+            det, dv = detect_fn(params, images, im_info, orig_hw)
         det, dv = np.asarray(det), np.asarray(dv)
         _t['im_detect'].toc()
 

@@ -35,6 +35,9 @@ def parse_args():
                         type=int, help='max number of detections per image')
     parser.add_argument('--tag', dest='tag', default='')
     parser.add_argument('--net', dest='net', default='res50', choices=NETS)
+    parser.add_argument('--devices', dest='devices', default=1, type=int,
+                        help='data-parallel devices for evaluation '
+                             '(0 = all available)')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     if len(sys.argv) == 1:
@@ -88,9 +91,18 @@ def main():
     params = load_model_params(args.model, model, spec, args.net,
                                canvas_hw(cfg.TEST))
 
+    mesh = None
+    if args.devices != 1:
+        import jax
+        from tf_faster_rcnn_tpu.parallel.mesh import make_mesh
+        n = args.devices or len(jax.devices())
+        if n > 1:
+            mesh = make_mesh(n)
+            print(f'Evaluating data-parallel over {n} devices')
+
     filename = (args.model or 'random').split('/')[-1] + args.tag
     test_net(model, spec, params, imdb, filename,
-             max_per_image=args.max_per_image)
+             max_per_image=args.max_per_image, mesh=mesh)
 
 
 if __name__ == '__main__':
