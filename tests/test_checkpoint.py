@@ -36,12 +36,14 @@ def test_snapshot_restore_roundtrip(tmp_path):
     assert meta["data_state"]["cur"] == 3
 
 
-def test_find_previous_skips_lr_boundaries(tmp_path):
+def test_find_previous_picks_newest_including_boundaries(tmp_path):
+    """Boundary snapshots are valid here (LR is a pure function of step);
+    the reference-only skip would lose work — see find_previous docstring."""
     cfg.TRAIN.STEPSIZE = [20]
     for step in (10, 20, 15):
         ckpt.snapshot(str(tmp_path), "net", _state(step), {})
     found = ckpt.find_previous(str(tmp_path), "net")
-    assert found is not None and found[0] == 15  # 20 skipped (boundary)
+    assert found is not None and found[0] == 20
 
 
 def test_retention(tmp_path):

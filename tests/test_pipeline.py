@@ -181,3 +181,18 @@ def test_aspect_grouping_permutation(mini_voc):
     assert sorted(layer._perm.tolist()) == list(range(len(imdb.roidb)))
     batch = layer.forward()
     assert batch['image'].shape[0] == 2
+
+
+def test_tiny_roidb_wraps_to_full_batch(mini_voc):
+    """batch_size > len(roidb) wraps instead of emitting a short batch
+    (a short batch would recompile the jitted step / break sharding)."""
+    from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    imdb = get_imdb('voc_2007_trainval')
+    imdb.set_proposal_method('gt')
+    prepare_roidb(imdb)
+    layer = RoIDataLayer(imdb.roidb[:3], batch_size=8)
+    for _ in range(3):
+        batch = layer.forward()
+        assert batch['image'].shape[0] == 8

@@ -28,6 +28,8 @@ from tf_faster_rcnn_tpu.data.blob import (im_to_canvas, prep_im_for_blob,
 
 __all__ = ["RoIDataLayer", "get_minibatch"]
 
+_TRUNC_WARNED = False
+
 
 def _sample_scale(rng: np.random.RandomState):
     scales = cfg.TRAIN.SCALES
@@ -70,6 +72,16 @@ def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
                 (entry['gt_classes'] != 0)
                 & np.all(entry['gt_overlaps'].toarray() > -1.0, axis=1))[0]
         n = min(len(gt_inds), max_gt)
+        if len(gt_inds) > max_gt:
+            # dropped objects would otherwise train as background — make the
+            # truncation loud so TPU.MAX_GT gets raised for dense datasets
+            global _TRUNC_WARNED
+            if not _TRUNC_WARNED:
+                print(f"WARNING: image {entry.get('image', '?')} has "
+                      f"{len(gt_inds)} gt boxes > TPU.MAX_GT={max_gt}; "
+                      f"truncating (raise cfg.TPU.MAX_GT). Further "
+                      f"truncations will not be logged.")
+                _TRUNC_WARNED = True
         sel = gt_inds[:n]
         gt_boxes[i, :n, :4] = entry['boxes'][sel, :].astype(np.float32) * scale
         gt_boxes[i, :n, 4] = entry['gt_classes'][sel]
@@ -121,6 +133,13 @@ class RoIDataLayer(object):
     def _get_next_minibatch_inds(self):
         if self._cur + self._batch > len(self._roidb):
             self._shuffle_roidb_inds()
+        if self._batch > len(self._roidb):
+            # tiny roidb: wrap so the batch shape stays fixed (a short batch
+            # would recompile the jitted step, or break mesh sharding)
+            reps = -(-self._batch // len(self._roidb))
+            db_inds = np.tile(self._perm, reps)[:self._batch]
+            self._cur = len(self._roidb)  # force reshuffle next time
+            return db_inds
         db_inds = self._perm[self._cur:self._cur + self._batch]
         self._cur += self._batch
         return db_inds
@@ -161,6 +180,7 @@ class PrefetchingDataLayer(object):
         self._inner = inner
         self._queue = queue.Queue(maxsize=depth)
         self._lock = threading.Lock()
+        self._gen = 0  # bumped by set_state; stale-generation items dropped
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -168,26 +188,34 @@ class PrefetchingDataLayer(object):
     def _worker(self):
         while not self._stop.is_set():
             with self._lock:
+                gen = self._gen
                 state = self._inner.get_state()
                 batch = self._inner.forward()
             # put outside the lock: a blocking put while holding the lock
             # would deadlock against set_state's drain-under-lock
             while not self._stop.is_set():
                 try:
-                    self._queue.put((state, batch), timeout=0.5)
+                    self._queue.put((gen, state, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
 
     def forward(self) -> Dict:
-        self._last_state, batch = self._queue.get()
-        return batch
+        while True:
+            gen, state, batch = self._queue.get()
+            # a worker blocked in put() during set_state can land one item
+            # built from the pre-restore state; its stale generation tag
+            # identifies it
+            if gen == self._gen:
+                self._last_state = state
+                return batch
 
     def get_state(self) -> Dict:
         return getattr(self, "_last_state", self._inner.get_state())
 
     def set_state(self, state: Dict):
         with self._lock:
+            self._gen += 1
             # drain prefetched batches built from the old state
             while not self._queue.empty():
                 try:

@@ -262,6 +262,8 @@ class coco(imdb):
             json.dump(results, fid)
 
     def evaluate_detections(self, all_boxes, output_dir):
+        """Returns the COCO AP@[0.5:0.95] (stats[0]) like pascal_voc returns
+        its mAP; None for gt-less test splits."""
         res_file = osp.join(
             output_dir,
             'detections_' + self._image_set + self._year + '_results')
@@ -269,11 +271,16 @@ class coco(imdb):
             res_file += '_{}'.format(str(uuid.uuid4()))
         res_file += '.json'
         self._write_coco_results_file(all_boxes, res_file)
+        ap = None
         # only evaluate on splits with gt annotations
         if self._image_set.find('test') == -1:
-            self._do_detection_eval(res_file, output_dir)
+            coco_eval = self._do_detection_eval(res_file, output_dir)
+            if getattr(coco_eval, 'stats', None) is not None \
+                    and len(coco_eval.stats):
+                ap = float(coco_eval.stats[0])
         if self.config['cleanup']:
             os.remove(res_file)
+        return ap
 
     def competition_mode(self, on):
         if on:

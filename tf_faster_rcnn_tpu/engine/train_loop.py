@@ -161,13 +161,18 @@ class SolverWrapper(object):
             state = replicate(self.mesh, state)
 
         profile_dir = str(cfg.TPU.PROFILE_DIR)
+        profiling = False
         it = int(jax.device_get(state.step))
+        profile_start = it + min(10, max(max_iters - it - 1, 0))
         while it < max_iters:
-            if profile_dir and it == 10:
+            if profile_dir and not profiling and it >= profile_start:
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and it == 15:
+                profiling = True
+            elif profiling and it >= profile_start + 5:
                 jax.profiler.stop_trace()
-                print(f"Wrote profiler trace (iters 10-15) to {profile_dir}")
+                profiling = False
+                profile_dir = ""
+                print(f"Wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
             timer.tic()
             batch = self.data_layer.forward()
             batch.pop("orig_hw", None)
@@ -208,10 +213,14 @@ class SolverWrapper(object):
                 self.state = state
                 self.snapshot()
 
+        if profiling:  # loop ended inside the trace window
+            jax.profiler.stop_trace()
         self.state = state
         if max_iters % cfg.TRAIN.SNAPSHOT_ITERS != 0:
             self.snapshot()
         writer.close()
+        if hasattr(self.data_layer, "close"):
+            self.data_layer.close()
         return state
 
 

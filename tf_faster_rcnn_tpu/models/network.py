@@ -57,6 +57,7 @@ class ModelSpec:
     rpn_nms_thresh: float = 0.7
     test_mode: str = "nms"         # 'nms' | 'top'
     rpn_top_n: int = 5000
+    use_pallas_nms: bool = True    # the reference's USE_GPU_NMS analog
     # RPN target sampling (TRAIN)
     rpn_batchsize: int = 256
     rpn_fg_fraction: float = 0.5
@@ -108,6 +109,7 @@ def spec_from_cfg(backbone: str, num_classes: int, mode: str) -> ModelSpec:
         rpn_nms_thresh=float(phase.RPN_NMS_THRESH),
         test_mode=str(cfg.TEST.MODE),
         rpn_top_n=int(cfg.TEST.RPN_TOP_N),
+        use_pallas_nms=bool(cfg.TPU.USE_PALLAS_NMS),
         rpn_batchsize=int(cfg.TRAIN.RPN_BATCHSIZE),
         rpn_fg_fraction=float(cfg.TRAIN.RPN_FG_FRACTION),
         rpn_positive_overlap=float(cfg.TRAIN.RPN_POSITIVE_OVERLAP),
@@ -185,7 +187,8 @@ class FasterRCNN(nn.Module):
                 boxes, scores, jnp.ones_like(scores, bool),
                 s.rpn_nms_thresh, s.rpn_post_nms_top_n,
                 plus_one=False, suppress_eq=False,
-                pre_sort_k=min(s.rpn_pre_nms_top_n, scores.shape[0]))
+                pre_sort_k=min(s.rpn_pre_nms_top_n, scores.shape[0]),
+                use_pallas="auto" if s.use_pallas_nms else False)
             return boxes[idx], scores[idx], valid
 
         return jax.vmap(one)(rpn_bbox, fg_scores, im_info)

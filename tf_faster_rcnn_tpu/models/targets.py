@@ -87,7 +87,7 @@ def anchor_target(anchors, gt_boxes, gt_valid, im_hw, rng, *,
     neg = inside & (max_ov < negative_overlap)
     pos = is_gt_best | (inside & (max_ov >= positive_overlap))
     if clobber_positives:
-        labels = jnp.where(inside, -1, -1)
+        labels = jnp.full(n, -1)
         labels = jnp.where(pos, 1, labels)
         labels = jnp.where(neg, 0, labels)
     else:

@@ -55,6 +55,15 @@ def nms_keep_mask(boxes, valid, iou_threshold, *, plus_one=False,
 
     plus_one: legacy +1-width IoU (CUDA/Cython path) vs standard IoU (TF path).
     suppress_eq: suppress at >= (Cython cpu_nms) vs > (CUDA / TF).
+    max_keep: CONTRACT CHANGE — only the first max_keep survivors (in index
+    order) are guaranteed exact; later keep bits may be stale (the Pallas arm
+    stops refining once max_keep survivors are finalized; the jnp arm stays
+    fully exact, a permitted superset of the guarantee). Callers that consume
+    the whole mask must leave max_keep=None.
+
+    The dispatch decision (Pallas vs jnp) is captured at trace time when this
+    runs under jit — flip cfg.TPU.USE_PALLAS_NMS before building the program
+    (spec_from_cfg snapshots it into ModelSpec), not between calls.
     """
     n0 = boxes.shape[0]
     n = -(-n0 // block) * block

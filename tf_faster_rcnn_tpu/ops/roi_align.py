@@ -26,33 +26,10 @@ import jax.numpy as jnp
 __all__ = ["crop_and_resize", "roi_crop_pool"]
 
 
-def _axis_weights(lo, hi, size: int, crop: int, dtype):
-    """Interpolation matrix W: [R, crop, size] with W[r,i,s] = bilinear weight
-    of source row s for output row i of roi r; rows for out-of-range samples
-    are all-zero (TF extrapation-value semantics)."""
-    s1 = lo * (size - 1.0)
-    s2 = hi * (size - 1.0)
-    if crop > 1:
-        step = (s2 - s1) / (crop - 1.0)
-        src = s1[:, None] + jnp.arange(crop, dtype=dtype)[None, :] * step[:, None]
-    else:
-        src = (0.5 * (s1 + s2))[:, None]
-    in_range = (src >= 0.0) & (src <= size - 1.0)
-    src_c = jnp.clip(src, 0.0, size - 1.0)
-    i0 = jnp.floor(src_c)
-    frac = src_c - i0
-    i0 = i0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, size - 1)
-    grid = jnp.arange(size, dtype=jnp.int32)
-    one0 = (grid[None, None, :] == i0[:, :, None]).astype(dtype)
-    one1 = (grid[None, None, :] == i1[:, :, None]).astype(dtype)
-    w = one0 * (1.0 - frac)[:, :, None] + one1 * frac[:, :, None]
-    return w * in_range[:, :, None].astype(dtype)
-
-
 def _axis_samples(lo, hi, size: int, crop: int):
-    """Per-output-row source coordinate info: (i0 [R,crop] int32,
-    frac [R,crop], in_range [R,crop])."""
+    """Per-output-row source coordinate info implementing TF's sampling
+    rules: (i0 [R,crop] int32 floor index, frac [R,crop], in_range [R,crop]).
+    Single source of truth for both the einsum and gather crop paths."""
     s1 = lo * (size - 1.0)
     s2 = hi * (size - 1.0)
     if crop > 1:
@@ -64,6 +41,20 @@ def _axis_samples(lo, hi, size: int, crop: int):
     src_c = jnp.clip(src, 0.0, size - 1.0)
     i0 = jnp.floor(src_c)
     return i0.astype(jnp.int32), src_c - i0, in_range
+
+
+def _axis_weights(lo, hi, size: int, crop: int, dtype):
+    """Interpolation matrix W: [R, crop, size] with W[r,i,s] = bilinear weight
+    of source row s for output row i of roi r; rows for out-of-range samples
+    are all-zero (TF extrapolation-value semantics)."""
+    i0, frac, in_range = _axis_samples(lo, hi, size, crop)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    grid = jnp.arange(size, dtype=jnp.int32)
+    one0 = (grid[None, None, :] == i0[:, :, None]).astype(dtype)
+    one1 = (grid[None, None, :] == i1[:, :, None]).astype(dtype)
+    frac = frac.astype(dtype)
+    w = one0 * (1.0 - frac)[:, :, None] + one1 * frac[:, :, None]
+    return w * in_range[:, :, None].astype(dtype)
 
 
 def crop_and_resize(image, boxes, crop_size, method: str = "einsum"):

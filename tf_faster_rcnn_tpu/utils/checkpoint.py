@@ -71,18 +71,23 @@ def restore_meta(path: str) -> dict:
 
 
 def find_previous(output_dir, prefix):
-    """Newest snapshot pair (by step), skipping steps that sit exactly on an
-    LR boundary like the reference (train_val.py:160-164). Returns
-    (step, state_path, meta_path) or None."""
-    from tf_faster_rcnn_tpu.config import cfg
+    """Newest snapshot pair (by step). Returns (step, state_path, meta_path)
+    or None.
+
+    The reference skips snapshots sitting exactly on an LR boundary
+    (train_val.py:160-164) because its stateful LR assign could resume with
+    the wrong rate there. Here the LR is a pure function of the step counter
+    (engine/train.py lr_schedule), so boundary snapshots are fully valid and
+    are NOT skipped — skipping would silently retrain up to SNAPSHOT_ITERS
+    iterations (or restart entirely when the boundary snapshot is the only
+    one)."""
     pattern = os.path.join(output_dir, f"{prefix}_iter_*.msgpack")
     steps = []
     for p in glob.glob(pattern):
         m = re.search(r"_iter_(\d+)\.msgpack$", p)
         if m:
             steps.append(int(m.group(1)))
-    redfiles = {int(s) for s in cfg.TRAIN.STEPSIZE}
-    steps = sorted(s for s in steps if s not in redfiles)
+    steps = sorted(steps)
     if not steps:
         return None
     s = steps[-1]
