@@ -52,3 +52,20 @@ def test_pallas_invalid_mask(rng):
     kj = np.asarray(nms_keep_mask(boxes, valid, 0.5, use_pallas=False))
     np.testing.assert_array_equal(kp, kj)
     assert not kp[50:90].any()
+
+
+def test_batched_kernel_matches_per_instance(rng):
+    """pallas_batched_nms_keep (interpret mode) == per-instance jnp NMS."""
+    from tf_faster_rcnn_tpu.ops.pallas_nms import pallas_batched_nms_keep
+    G, N = 13, 96
+    boxes = np.stack([_sorted_boxes(rng, N) for _ in range(G)])
+    valid = rng.rand(G, N) > 0.1
+    for plus_one in (True, False):
+        kp = np.asarray(pallas_batched_nms_keep(boxes, valid, 0.4,
+                                                plus_one=plus_one,
+                                                interpret=True))
+        for g in range(G):
+            kj = np.asarray(nms_keep_mask(boxes[g], valid[g], 0.4,
+                                          plus_one=plus_one,
+                                          use_pallas=False))
+            np.testing.assert_array_equal(kp[g], kj)

@@ -3,46 +3,58 @@
 Reference flow (/root/reference/lib/model/test.py:86-180): im_detect decodes
 per-class boxes on the host, then a per-class *host loop* calls the CUDA NMS
 kernel once per class (:162-170), then a global max_per_image=100 cap
-(:172-180). Here the whole postprocess is one fixed-shape jitted function:
-class-wise NMS is a vmap over classes (legacy +1 IoU like the reference's
-gpu_nms path), the cap is a top-k over the masked class-score table, and the
-output is a fixed [max_per_image, 6] slab with a validity mask.
+(:172-180). Here the whole postprocess is one fixed-shape jitted function
+and all batch x class NMS problems run as ONE batched Pallas kernel launch
+(instances in lanes, boxes in sublanes — see ops/pallas_nms.py
+pallas_batched_nms_keep); the cap is a top-k over the masked class-score
+table and the output is a fixed [max_per_image, 6] slab with a validity
+mask. Off-TPU the NMS core falls back to the vectorized jnp block NMS.
 """
 
 from __future__ import annotations
 
 import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tf_faster_rcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
-from tf_faster_rcnn_tpu.ops.nms import sorted_nms
+from tf_faster_rcnn_tpu.ops.nms import nms_keep_mask, sorted_nms
 
 __all__ = ["postprocess_detections", "multiclass_nms"]
 
 
+def _batched_keep(sorted_boxes, sorted_valid, nms_thresh, plus_one):
+    """Exact greedy keep masks for G score-sorted instances [G, N]."""
+    from tf_faster_rcnn_tpu.ops.nms import _pallas_available
+    from tf_faster_rcnn_tpu.config import cfg
+    if bool(cfg.TPU.USE_PALLAS_NMS) and _pallas_available():
+        from tf_faster_rcnn_tpu.ops.pallas_nms import pallas_batched_nms_keep
+        return pallas_batched_nms_keep(sorted_boxes, sorted_valid,
+                                       float(nms_thresh), plus_one=plus_one,
+                                       suppress_eq=False)
+    fn = jax.vmap(lambda b, v: nms_keep_mask(
+        b, v, nms_thresh, plus_one=plus_one, suppress_eq=False,
+        use_pallas=False))
+    return fn(sorted_boxes, sorted_valid)
+
+
 def multiclass_nms(boxes, scores, valid, nms_thresh, *, plus_one=True,
                    score_thresh=0.0):
-    """Per-class NMS keep mask for one image.
+    """Per-class NMS keep mask for one image (kept for API/tests; the
+    batched postprocess below is the production path).
 
-    boxes: [C, R, 4] per-class decoded boxes (class 0 = background excluded
-    by the caller); scores: [C, R]; valid: [C, R]. Returns keep [C, R] bool.
-    Suppression follows the reference gpu_nms semantics (+1 IoU, suppress at
-    iou > thresh). score_thresh reproduces the `scores > thresh` pre-filter
-    (test.py:161, default 0.0 — with softmax probs this keeps everything).
+    boxes: [C, R, 4]; scores: [C, R]; valid: [C, R]. Returns keep [C, R]
+    bool in the ORIGINAL box order. Suppression follows the reference
+    gpu_nms semantics (+1 IoU, suppress at iou > thresh).
     """
     r = boxes.shape[1]
 
     def one_class(b, s, v):
         v = v & (s > score_thresh)
-        # many small NMS instances: the batched-jnp path vectorizes across
-        # the vmap (classes x batch) while vmapped Pallas kernels serialize
-        # into per-instance launches (measured 6.5 ms vs 57 ms for 160
-        # instances of 300 boxes on v5e)
         idx, ok = sorted_nms(b, s, v, nms_thresh, r, plus_one=plus_one,
                              suppress_eq=False, use_pallas=False)
-        # padded slots alias a real index (ok=False); route them out of
-        # range so mode="drop" discards them instead of clobbering
         safe_idx = jnp.where(ok, idx, r)
         return jnp.zeros((r,), bool).at[safe_idx].set(True, mode="drop")
 
@@ -67,31 +79,39 @@ def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
     y2) in original-image coords, valid [B, max_per_image]).
     """
     k = num_classes
+    b, r, _ = rois.shape
+    kc = k - 1  # foreground classes
 
-    def one(rois_i, rv_i, prob_i, pred_i, info_i, ohw_i):
-        boxes = rois_i / info_i[2]                       # back to orig coords
-        pred = bbox_transform_inv(boxes, pred_i)         # [R, 4K]
-        pred = clip_boxes(pred, ohw_i)
-        r = rois_i.shape[0]
-        pb = pred.reshape(r, k, 4).transpose(1, 0, 2)    # [K, R, 4]
-        ps = prob_i.transpose(1, 0)                      # [K, R]
-        # drop background class 0
-        pb, ps = pb[1:], ps[1:]
-        v = jnp.broadcast_to(rv_i[None, :], ps.shape)
-        keep = multiclass_nms(pb, ps, v, nms_thresh, plus_one=True,
-                              score_thresh=score_thresh)
-        masked = jnp.where(keep, ps, -jnp.inf)           # [K-1, R]
-        flat = masked.reshape(-1)
-        top_s, top_i = jax.lax.top_k(flat, max_per_image)
-        cls_idx = top_i // r + 1                         # back to 1-based cls
-        box_idx = top_i % r
-        out_boxes = pb.reshape(-1, 4)[top_i]
-        det = jnp.concatenate(
-            [cls_idx[:, None].astype(jnp.float32), top_s[:, None], out_boxes],
-            axis=1)
-        dv = jnp.isfinite(top_s)
-        det = jnp.where(dv[:, None], det, 0.0)
-        return det, dv
+    boxes = rois / im_info[:, 2][:, None, None]      # back to orig coords
+    pred = bbox_transform_inv(boxes, bbox_pred)      # [B, R, 4K]
+    pred = clip_boxes(pred, orig_hw)
+    pb = pred.reshape(b, r, k, 4).transpose(0, 2, 1, 3)[:, 1:]  # [B,kc,R,4]
+    ps = cls_prob.transpose(0, 2, 1)[:, 1:]                     # [B,kc,R]
+    pv = roi_valid[:, None, :] & (ps > score_thresh)
 
-    return jax.vmap(one)(rois, roi_valid, cls_prob, bbox_pred, im_info,
-                         orig_hw)
+    g = b * kc
+    fb = pb.reshape(g, r, 4)
+    fs = ps.reshape(g, r)
+    fv = pv.reshape(g, r)
+
+    # sort each instance by descending score (lax.top_k batches natively)
+    neg = jnp.float32(-1.0e10)
+    masked_scores = jnp.where(fv, fs, neg)
+    top_s, order = lax.top_k(masked_scores, r)        # [G, R]
+    sb = jnp.take_along_axis(fb, order[..., None], axis=1)
+    sv = top_s > neg / 2
+
+    keep = _batched_keep(sb, sv, nms_thresh, plus_one=True)  # [G, R] sorted
+
+    masked = jnp.where(keep, top_s, -jnp.inf)         # sorted order
+    flat = masked.reshape(b, kc * r)
+    top_s2, top_i = lax.top_k(flat, max_per_image)    # [B, max_per_image]
+    cls_idx = top_i // r + 1                          # back to 1-based class
+    boxes_flat = sb.reshape(b, kc * r, 4)
+    out_boxes = jnp.take_along_axis(boxes_flat, top_i[..., None], axis=1)
+    det = jnp.concatenate(
+        [cls_idx[..., None].astype(jnp.float32), top_s2[..., None],
+         out_boxes], axis=-1)
+    dv = jnp.isfinite(top_s2)
+    det = jnp.where(dv[..., None], det, 0.0)
+    return det, dv

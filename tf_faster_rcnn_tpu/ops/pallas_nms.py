@@ -32,7 +32,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_nms_keep_mask"]
+__all__ = ["pallas_nms_keep_mask", "pallas_batched_nms_keep"]
 
 BLOCK = 128
 COL_TILE = 2048
@@ -118,6 +118,84 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, iou_scratch, *,
                         lambda: count)
 
     lax.fori_loop(0, num_blocks, block_body, jnp.int32(0))
+
+
+def _batched_nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref,
+                        alive, *, n: int, thresh: float, plus_one: bool,
+                        suppress_eq: bool):
+    """Many small NMS problems in one launch: instances live in LANES,
+    boxes in SUBLANES ([N, G] layout), so the inherently sequential greedy
+    scan runs once over N steps while every step's suppression is a single
+    [N, G] VPU op vectorized across all G instances AND all later boxes.
+
+    Used for the per-class detection NMS (batch x classes instances of ~300
+    boxes): vmapping the single-instance kernel serializes into per-instance
+    launches (~57 ms for 160 instances); this formulation does the same
+    exact-greedy work in one pass.
+    """
+    e = 1.0 if plus_one else 0.0
+    alive[:, :] = valid_ref[:, :]
+    g = alive.shape[1]
+    row_ids = lax.broadcasted_iota(jnp.int32, (n, g), 0)
+    X1, Y1, X2, Y2 = x1_ref[:, :], y1_ref[:, :], x2_ref[:, :], y2_ref[:, :]
+    AREA = (X2 - X1 + e) * (Y2 - Y1 + e)
+
+    def over(iou):
+        return (iou >= thresh) if suppress_eq else (iou > thresh)
+
+    def refine(i, _):
+        rx1 = x1_ref[pl.ds(i, 1), :]          # [1, G]
+        ry1 = y1_ref[pl.ds(i, 1), :]
+        rx2 = x2_ref[pl.ds(i, 1), :]
+        ry2 = y2_ref[pl.ds(i, 1), :]
+        iw = jnp.maximum(jnp.minimum(X2, rx2) - jnp.maximum(X1, rx1) + e, 0.0)
+        ih = jnp.maximum(jnp.minimum(Y2, ry2) - jnp.maximum(Y1, ry1) + e, 0.0)
+        inter = iw * ih
+        r_area = (rx2 - rx1 + e) * (ry2 - ry1 + e)
+        union = AREA + r_area - inter
+        iou = jnp.where(union > 0.0, inter / jnp.where(union > 0.0, union,
+                                                       1.0), 0.0)
+        a_i = alive[pl.ds(i, 1), :]           # [1, G]
+        sup = over(iou) & (row_ids > i) & (a_i > 0.0)
+        alive[:, :] = alive[:, :] * (1.0 - sup.astype(jnp.float32))
+        return 0
+
+    lax.fori_loop(0, n, refine, 0)
+    keep_ref[:, :] = alive[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "thresh", "plus_one", "suppress_eq", "interpret"))
+def pallas_batched_nms_keep(boxes, valid, thresh, *, plus_one=False,
+                            suppress_eq=False, interpret=None):
+    """Exact greedy NMS over G independent score-sorted instances.
+
+    boxes: [G, N, 4] f32 (each instance sorted by descending score);
+    valid: [G, N] bool. Returns keep [G, N] bool with the same semantics as
+    nms_keep_mask applied per instance.
+    """
+    g0, n0 = valid.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = -(-n0 // 8) * 8            # f32 sublane multiple
+    g = -(-g0 // 128) * 128        # lane multiple
+    b = jnp.pad(boxes.astype(jnp.float32), ((0, g - g0), (0, n - n0), (0, 0)))
+    coords = jnp.transpose(b, (2, 1, 0))          # [4, N, G]
+    valid_f = jnp.pad(valid.astype(jnp.float32),
+                      ((0, g - g0), (0, n - n0))).T  # [N, G]
+
+    kernel = functools.partial(
+        _batched_nms_kernel, n=n, thresh=float(thresh), plus_one=plus_one,
+        suppress_eq=suppress_eq)
+    keep = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, g), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, g), jnp.float32)],
+        interpret=interpret,
+    )(coords[0], coords[1], coords[2], coords[3], valid_f)
+    return keep.T[:g0, :n0] > 0.0
 
 
 @functools.partial(jax.jit, static_argnames=(
