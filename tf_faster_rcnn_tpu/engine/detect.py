@@ -25,11 +25,18 @@ from tf_faster_rcnn_tpu.ops.nms import nms_keep_mask, sorted_nms
 __all__ = ["postprocess_detections", "multiclass_nms"]
 
 
-def _batched_keep(sorted_boxes, sorted_valid, nms_thresh, plus_one):
-    """Exact greedy keep masks for G score-sorted instances [G, N]."""
+def _batched_keep(sorted_boxes, sorted_valid, nms_thresh, plus_one,
+                  use_pallas=None):
+    """Exact greedy keep masks for G score-sorted instances [G, N].
+
+    use_pallas=None resolves from cfg at trace time (make_detect_fn builds
+    the program once, so this is the build-time snapshot semantics the rest
+    of the config uses)."""
     from tf_faster_rcnn_tpu.ops.nms import _pallas_available
-    from tf_faster_rcnn_tpu.config import cfg
-    if bool(cfg.TPU.USE_PALLAS_NMS) and _pallas_available():
+    if use_pallas is None:
+        from tf_faster_rcnn_tpu.config import cfg
+        use_pallas = bool(cfg.TPU.USE_PALLAS_NMS)
+    if use_pallas and _pallas_available():
         from tf_faster_rcnn_tpu.ops.pallas_nms import pallas_batched_nms_keep
         return pallas_batched_nms_keep(sorted_boxes, sorted_valid,
                                        float(nms_thresh), plus_one=plus_one,
@@ -62,12 +69,14 @@ def multiclass_nms(boxes, scores, valid, nms_thresh, *, plus_one=True,
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "max_per_image",
-                                             "nms_thresh", "score_thresh"))
+                                             "nms_thresh", "score_thresh",
+                                             "use_pallas"))
 def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
                            orig_hw, *, num_classes: int,
                            max_per_image: int = 100,
                            nms_thresh: float = 0.3,
-                           score_thresh: float = 0.0):
+                           score_thresh: float = 0.0,
+                           use_pallas=None):
     """Full batched postprocess.
 
     rois: [B, R, 4] proposals in scaled-image coords; roi_valid: [B, R];
@@ -101,7 +110,8 @@ def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
     sb = jnp.take_along_axis(fb, order[..., None], axis=1)
     sv = top_s > neg / 2
 
-    keep = _batched_keep(sb, sv, nms_thresh, plus_one=True)  # [G, R] sorted
+    keep = _batched_keep(sb, sv, nms_thresh, plus_one=True,
+                         use_pallas=use_pallas)   # [G, R] sorted order
 
     masked = jnp.where(keep, top_s, -jnp.inf)         # sorted order
     flat = masked.reshape(b, kc * r)
