@@ -124,14 +124,29 @@ def test_net(model, spec, params, imdb, weights_filename,
     detect_fn = make_detect_fn(model, spec, max_per_image, thresh)
 
     _t = {'im_detect': Timer(), 'misc': Timer()}
-    for start in range(0, num_images, b):
-        idx = list(range(start, min(start + b, num_images)))
-        # fixed batch shape: repeat the last image to fill the final batch
-        pad = b - len(idx)
-        paths = [imdb.image_path_at(i) for i in idx] + \
-                [imdb.image_path_at(idx[-1])] * pad
+
+    # overlap host-side decode/resize with device compute: batches are
+    # prepared by a background thread one step ahead (the reference preps
+    # synchronously inside its loop, test.py:152-153)
+    import queue
+    import threading
+    starts = list(range(0, num_images, b))
+    prep_q = queue.Queue(maxsize=2)
+
+    def _producer():
+        for start in starts:
+            idx = list(range(start, min(start + b, num_images)))
+            # fixed batch shape: repeat the last image to fill the tail
+            pad = b - len(idx)
+            paths = [imdb.image_path_at(i) for i in idx] + \
+                    [imdb.image_path_at(idx[-1])] * pad
+            prep_q.put((idx, _prep_batch(paths, canvas)))
+
+    threading.Thread(target=_producer, daemon=True).start()
+
+    for start in starts:
         _t['im_detect'].tic()
-        images, im_info, orig_hw = _prep_batch(paths, canvas)
+        idx, (images, im_info, orig_hw) = prep_q.get()
         if mesh is not None:
             from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
             sharded = shard_batch(mesh, {"image": images, "im_info": im_info,
