@@ -188,3 +188,43 @@ def test_resnet_max_pool_variant(rng):
     assert out_a["cls_prob"].shape == out_b["cls_prob"].shape
     assert not np.allclose(np.asarray(out_a["cls_score"]),
                            np.asarray(out_b["cls_score"]))
+
+
+def test_space_to_depth_stem_is_exact(rng):
+    """The 4x4 s2d stem with the transformed kernel equals the 7x7/2 stem
+    bit-for-bit semantics (up to f32 rounding)."""
+    from flax import linen as nn
+    from tf_faster_rcnn_tpu.models.layers import ConvSame
+    from tf_faster_rcnn_tpu.models.resnet_v1 import (s2d_conv1_kernel,
+                                                     space_to_depth_2x2)
+    x = rng.randn(2, 64, 96, 3).astype(np.float32)
+    k7 = (rng.randn(7, 7, 3, 16) * 0.1).astype(np.float32)
+    ref = nn.Conv(16, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                  use_bias=False).apply({"params": {"kernel": k7}}, x)
+    k2 = s2d_conv1_kernel(k7)
+    got = nn.Conv(16, (4, 4), strides=(1, 1), padding=((2, 1), (2, 1)),
+                  use_bias=False).apply({"params": {"kernel": k2}},
+                                        space_to_depth_2x2(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_space_to_depth_full_model_equivalence(rng):
+    """res50 detect outputs agree between s2d and plain stems when the s2d
+    conv1 kernel is the transform of the plain one."""
+    from tf_faster_rcnn_tpu.models.resnet_v1 import s2d_conv1_kernel
+    img, im_info, _, _ = _inputs(rng)
+    spec_plain = _small(spec_from_cfg("res50", 21, "TEST"),
+                        space_to_depth=False)
+    spec_s2d = dataclasses.replace(spec_plain, space_to_depth=True)
+    m_plain, m_s2d = FasterRCNN(spec_plain), FasterRCNN(spec_s2d)
+    params = m_plain.init(jax.random.PRNGKey(0), img, im_info)
+    import copy
+    p2 = copy.deepcopy(jax.device_get(params))
+    p2["params"]["head"]["conv1"]["kernel"] = s2d_conv1_kernel(
+        p2["params"]["head"]["conv1"]["kernel"])
+    out1 = m_plain.apply(params, img, im_info)
+    out2 = m_s2d.apply(p2, img, im_info)
+    np.testing.assert_allclose(np.asarray(out2["cls_prob"]),
+                               np.asarray(out1["cls_prob"]),
+                               rtol=1e-3, atol=1e-4)

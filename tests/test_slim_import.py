@@ -34,8 +34,8 @@ def _fill_var_dict_from_tree(params, backbone, rng):
 
     if backbone == "res50":
         scope = "resnet_v1_50"
-        var[f"{scope}/conv1/weights"] = rng.randn(
-            *p["head"]["conv1"]["kernel"].shape)
+        # slim stem kernel is always [7,7,3,64] regardless of our stem layout
+        var[f"{scope}/conv1/weights"] = rng.randn(7, 7, 3, 64)
         bn(f"{scope}/conv1", p["head"]["conv1_bn"])
         for bi, where in ((1, "head"), (2, "head"), (3, "head"), (4, "tail")):
             for unit_name, unit in p[where][f"block{bi}"].items():
@@ -81,11 +81,14 @@ def _fill_var_dict_from_tree(params, backbone, rng):
 
 
 def test_resnet_import_bgr_flip(rng):
+    from tf_faster_rcnn_tpu.models.resnet_v1 import s2d_conv1_kernel
     params = _init("res50")
     var = _fill_var_dict_from_tree(params, "res50", rng)
     out = convert_slim_weights(params, var, "res50")
     got = np.asarray(out["params"]["head"]["conv1"]["kernel"])
     want = var["resnet_v1_50/conv1/weights"][:, :, ::-1, :]
+    if got.shape[:2] == (4, 4):  # space-to-depth stem (default)
+        want = s2d_conv1_kernel(want)
     np.testing.assert_allclose(got, want, rtol=1e-6)
     # BN mapped
     got_var = np.asarray(

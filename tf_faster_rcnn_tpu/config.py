@@ -166,6 +166,12 @@ def _default_cfg() -> AttrDict:
     C.TPU.MAX_PER_IMAGE = 100
     # Use the Pallas NMS kernel when on TPU (fallback: pure-jnp block NMS).
     C.TPU.USE_PALLAS_NMS = True
+    # Space-to-depth ResNet stem (exact transform; conv1 kernel becomes
+    # [4,4,12,64] and imports via s2d_conv1_kernel). Off by default: measured
+    # slightly SLOWER on v5e (16.7 vs 15.5 ms/batch for the res101 head at
+    # 8x608x1024) - XLA already handles the 3-channel stem well here; kept as
+    # an option for other generations/shapes.
+    C.TPU.SPACE_TO_DEPTH = False
     # Host-side minibatch prefetch depth (0 = synchronous, like the
     # reference; its USE_PREFETCH comment was never implemented).
     C.TPU.PREFETCH = 2

@@ -58,6 +58,7 @@ class ModelSpec:
     test_mode: str = "nms"         # 'nms' | 'top'
     rpn_top_n: int = 5000
     use_pallas_nms: bool = True    # the reference's USE_GPU_NMS analog
+    space_to_depth: bool = False   # exact 4x4 resnet stem (TPU.SPACE_TO_DEPTH)
     # RPN target sampling (TRAIN)
     rpn_batchsize: int = 256
     rpn_fg_fraction: float = 0.5
@@ -110,6 +111,7 @@ def spec_from_cfg(backbone: str, num_classes: int, mode: str) -> ModelSpec:
         test_mode=str(cfg.TEST.MODE),
         rpn_top_n=int(cfg.TEST.RPN_TOP_N),
         use_pallas_nms=bool(cfg.TPU.USE_PALLAS_NMS),
+        space_to_depth=bool(cfg.TPU.SPACE_TO_DEPTH),
         rpn_batchsize=int(cfg.TRAIN.RPN_BATCHSIZE),
         rpn_fg_fraction=float(cfg.TRAIN.RPN_FG_FRACTION),
         rpn_positive_overlap=float(cfg.TRAIN.RPN_POSITIVE_OVERLAP),
@@ -135,6 +137,7 @@ def build_head(spec: "ModelSpec", name: Optional[str] = "head"):
         return vgg16.VGG16Head(dtype=dt, name=name)
     if spec.backbone in ("res50", "res101", "res152"):
         return resnet_v1.ResNetV1Head(int(spec.backbone[3:]), dtype=dt,
+                                      space_to_depth=spec.space_to_depth,
                                       name=name)
     if spec.backbone == "mobile":
         return mobilenet_v1.MobileNetV1Head(spec.depth_multiplier, dtype=dt,

@@ -70,7 +70,13 @@ def _convert_resnet(out, var, scope, missing):
     """scope e.g. resnet_v1_101."""
     name = f"{scope}/conv1/weights"
     if name in var:
-        _set(out, ["head", "conv1", "kernel"], _bgr_flip(var[name]))
+        k = _bgr_flip(var[name])
+        target = out["head"]["conv1"]["kernel"]
+        if tuple(np.shape(target))[:2] == (4, 4):
+            # space-to-depth stem: exact kernel transform
+            from tf_faster_rcnn_tpu.models.resnet_v1 import s2d_conv1_kernel
+            k = s2d_conv1_kernel(k)
+        _set(out, ["head", "conv1", "kernel"], k)
     else:
         missing.append(name)
     _bn(out, ["head", "conv1_bn"], var, f"{scope}/conv1", missing)
