@@ -196,3 +196,24 @@ def test_tiny_roidb_wraps_to_full_batch(mini_voc):
     for _ in range(3):
         batch = layer.forward()
         assert batch['image'].shape[0] == 8
+
+
+def test_eval_pipeline_top_mode(mini_voc):
+    """TEST.MODE='top' (proposal_top_layer path) through the full engine."""
+    import jax
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    from tf_faster_rcnn_tpu.engine.test_engine import test_net
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+    cfg.TEST.MODE = 'top'
+    cfg.TEST.RPN_TOP_N = 40
+    imdb = get_imdb('voc_2007_test')
+    spec = spec_from_cfg('vgg16', imdb.num_classes, 'TEST')
+    assert spec.test_mode == 'top'
+    model = FasterRCNN(spec)
+    dummy = np.zeros((1, 96, 128, 3), np.float32)
+    info = np.array([[96, 128, 1.0]], np.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, info)
+    out_dir = str(mini_voc / 'top_out')
+    mean_ap = test_net(model, spec, params, imdb, 'top', max_per_image=10,
+                       batch_size=2, output_dir=out_dir)
+    assert 0.0 <= mean_ap <= 1.0
