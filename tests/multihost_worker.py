@@ -1,0 +1,109 @@
+"""One process of a multi-host (multi-process) DP training run.
+
+Launched by test_multihost.py: `python multihost_worker.py <pid> <nprocs>
+<coordinator_port> <out.json>`. Each process owns 4 virtual CPU devices;
+jax.distributed + gloo collectives join them into one global mesh. The
+worker runs two data-parallel train steps on a deterministic synthetic
+batch, slicing its process-local share exactly the way the real train loop
+does, and process 0 reports final loss + a parameter checksum for the test
+to compare against the single-process result.
+
+Not a pytest file (no test_ prefix) — it is the spawned program.
+"""
+
+import json
+import os
+import sys
+
+
+def tiny_setup(b):
+    """Mirror of test_multichip._tiny_setup (kept in sync by the test)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+
+    spec = dataclasses.replace(
+        spec_from_cfg("vgg16", 21, "TRAIN"),
+        anchor_scales=(2, 4), rpn_pre_nms_top_n=256, rpn_post_nms_top_n=32,
+        roi_batch_size=16, rpn_batchsize=32)
+    model = FasterRCNN(spec)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randn(b, 64, 64, 3).astype(np.float32),
+        "im_info": np.tile(np.array([[60.0, 62.0, 1.0]], np.float32),
+                           (b, 1)),
+        "gt_boxes": np.tile(
+            np.array([[[8, 8, 40, 44, 3], [20, 16, 56, 58, 7]]], np.float32),
+            (b, 1, 1)),
+        "gt_valid": np.ones((b, 2), bool),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        batch["image"][:1], batch["im_info"][:1], batch["gt_boxes"][:1],
+        batch["gt_valid"][:1])
+    return spec, model, params, batch
+
+
+def run(global_batch=8, steps=2, local_slice=None):
+    """Run the DP train steps; returns (final metrics, param checksum).
+
+    With local_slice=None the whole global batch is fed from this process
+    (single-process mode); otherwise only the slice is fed and
+    shard_batch's multi-process path assembles the global array.
+    """
+    import jax
+    import numpy as np
+
+    from tf_faster_rcnn_tpu.engine.train import (create_train_state,
+                                                 lr_schedule, make_train_step)
+    from tf_faster_rcnn_tpu.parallel.mesh import (make_mesh, replicate,
+                                                  shard_batch)
+
+    spec, model, params, batch = tiny_setup(global_batch)
+    mesh = make_mesh()
+    state = create_train_state(spec, params, jax.random.PRNGKey(3))
+    step_fn = make_train_step(model, spec, weight_decay=1e-4,
+                              mobile_weight_decay=4e-5, donate=False,
+                              lr_fn=lr_schedule(0.001, 0.1, [30000]))
+    local = batch if local_slice is None else {
+        k: v[local_slice] for k, v in batch.items()}
+    with mesh:
+        state_r = replicate(mesh, state)
+        metrics = None
+        for _ in range(steps):
+            state_r, metrics = step_fn(state_r, shard_batch(mesh, local))
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state_r.params))
+    checksum = float(sum(np.abs(np.asarray(x, np.float64)).sum()
+                         for x in leaves))
+    return ({k: float(v) for k, v in metrics.items()}, checksum,
+            int(jax.device_get(state_r.step)))
+
+
+def main():
+    pid, nprocs, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
+                                  sys.argv[3], sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from tf_faster_rcnn_tpu.parallel import dist
+    dist.initialize(coordinator_address=f"localhost:{port}",
+                    num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs
+
+    metrics, checksum, step = run(global_batch=8, steps=2,
+                                  local_slice=dist.local_slice(8))
+    if dist.on_coordinator():
+        with open(outfile, "w") as f:
+            json.dump({"total_loss": metrics["total_loss"],
+                       "checksum": checksum, "step": step}, f)
+    print(f"worker {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,26 @@ def test_forward_top_mode(rng):
     assert np.all(np.diff(s) <= 0)  # sorted descending
 
 
+def test_forward_top_mode_pad_quirk(rng):
+    """rpn_top_n > #anchors: the reference pads by random choice with
+    replacement over all anchors (proposal_top_layer.py:30-33); output is
+    exactly RPN_TOP_N rois, all valid."""
+    img, im_info, _, _ = _inputs(rng)
+    n_anchors = (H // 16) * (W // 16) * 2 * 3  # scales (2,4) x 3 ratios
+    top_n = n_anchors + 37
+    spec = _small(spec_from_cfg("vgg16", 21, "TEST"), test_mode="top",
+                  rpn_top_n=top_n)
+    m = FasterRCNN(spec)
+    params = m.init(jax.random.PRNGKey(0), img, im_info)
+    out = m.apply(params, img, im_info)
+    assert out["rois"].shape == (B, top_n, 4)
+    assert bool(out["roi_valid"].all())
+    r = np.asarray(out["rois"][0])
+    # clipped to the image extents, and genuinely resampled (duplicates)
+    assert r[:, 0].min() >= 0 and r[:, 2].max() <= im_info[0, 1] - 1
+    assert len(np.unique(r, axis=0)) < top_n
+
+
 def test_train_mode_losses_and_grads(rng):
     img, im_info, gt, gtv = _inputs(rng)
     spec = _small(spec_from_cfg("vgg16", 21, "TRAIN"),

@@ -160,6 +160,12 @@ def test_training_loop_snapshot_and_resume(mini_voc):
     snaps = [f for f in os.listdir(out_dir) if f.endswith('.msgpack')]
     assert snaps, 'no snapshot written'
     assert osp.exists(osp.join(tb_dir, 'metrics.jsonl'))
+    # real TensorBoard event files in train/val sibling dirs
+    # (train_val.py:149-151 parity)
+    assert [f for f in os.listdir(tb_dir)
+            if f.startswith('events.out.tfevents.')]
+    assert [f for f in os.listdir(tb_dir + '_val')
+            if f.startswith('events.out.tfevents.')]
 
     # resume continues from the newest snapshot (iter 5 -> 7)
     state2 = train_net('vgg16', imdb, roidb, list(roidb), out_dir, tb_dir,

@@ -177,6 +177,10 @@ def _default_cfg() -> AttrDict:
     C.TPU.PREFETCH = 2
     # Directory for jax.profiler traces of the train step (empty = off).
     C.TPU.PROFILE_DIR = ''
+    # Multi-host runs take summaries every N iterations instead of the
+    # wall-clock TRAIN.SUMMARY_INTERVAL (host clocks would desynchronize the
+    # collective val-loss forward and deadlock).
+    C.TPU.SUMMARY_ITERS = 500
 
     return C
 

@@ -37,11 +37,15 @@ def _sample_scale(rng: np.random.RandomState):
 
 
 def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
-                  rng: Optional[np.random.RandomState] = None) -> Dict:
+                  rng: Optional[np.random.RandomState] = None,
+                  target_sizes=None) -> Dict:
     """Build a fixed-shape batch from roidb entries.
 
     Returns dict with image [B,H,W,3], im_info [B,3], gt_boxes [B,G,5],
     gt_valid [B,G], plus orig_hw [B,2] for eval-time clipping.
+    ``target_sizes`` (one per entry) overrides the per-image random scale
+    draw — used by the multi-host layer, which draws scales for the global
+    batch so every host's RNG stays in lockstep.
     """
     rng = rng or np.random
     b = len(roidb_entries)
@@ -53,7 +57,8 @@ def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
     orig_hw = np.zeros((b, 2), np.float32)
 
     for i, entry in enumerate(roidb_entries):
-        target_size = _sample_scale(rng)
+        target_size = (target_sizes[i] if target_sizes is not None
+                       else _sample_scale(rng))
         im = read_image_bgr(entry['image'])
         orig_hw[i] = (im.shape[0], im.shape[1])
         if entry.get('flipped', False):
@@ -96,13 +101,24 @@ class RoIDataLayer(object):
 
     def __init__(self, roidb, random=False, batch_size: Optional[int] = None,
                  canvas_hw: Optional[Tuple[int, int]] = None,
-                 max_gt: Optional[int] = None):
+                 max_gt: Optional[int] = None,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch. With process_count > 1 every
+        host runs identical permutation/cursor/RNG state (same seed, and all
+        random draws are made at global-batch granularity) but materializes
+        — decodes, resizes, pads — only its own contiguous slice of each
+        batch, for parallel/mesh.py::shard_batch to assemble."""
         from tf_faster_rcnn_tpu.config import canvas_hw as cfg_canvas
         self._roidb = roidb
         self._random = random
         self._batch = batch_size or int(cfg.TRAIN.IMS_PER_BATCH)
         self._canvas = canvas_hw or cfg_canvas(cfg.TRAIN)
         self._max_gt = max_gt or int(cfg.TPU.MAX_GT)
+        assert self._batch % process_count == 0, (
+            f"global batch {self._batch} not divisible by "
+            f"{process_count} processes")
+        self._pid = process_index
+        self._pcount = process_count
         self._rng = np.random.RandomState(cfg.RNG_SEED)
         self._shuffle_roidb_inds()
 
@@ -110,8 +126,16 @@ class RoIDataLayer(object):
         """Randomly permute the roidb, optionally grouping by aspect ratio
         (layer.py:32-62)."""
         if self._random:
-            # time-seeded shuffle for the validation layer (layer.py:37-41)
-            self._rng = np.random.RandomState(int(time.time() * 1000) % 4096)
+            # time-seeded shuffle for the validation layer (layer.py:37-41);
+            # multi-host runs need every host on the same permutation, so
+            # the seed must not come from local wall-clock there
+            if self._pcount > 1:
+                seed = (cfg.RNG_SEED + 0x5EED
+                        + getattr(self, "_n_shuffles", 0)) % (2 ** 31)
+            else:
+                seed = int(time.time() * 1000) % 4096
+            self._rng = np.random.RandomState(seed)
+        self._n_shuffles = getattr(self, "_n_shuffles", 0) + 1
         if cfg.TRAIN.ASPECT_GROUPING:
             widths = np.array([r['width'] for r in self._roidb])
             heights = np.array([r['height'] for r in self._roidb])
@@ -146,20 +170,32 @@ class RoIDataLayer(object):
 
     def forward(self) -> Dict:
         db_inds = self._get_next_minibatch_inds()
+        # one global-batch-sized draw keeps host RNG streams identical
+        # regardless of which slice each host materializes
+        scales = cfg.TRAIN.SCALES
+        scale_inds = self._rng.randint(0, len(scales), size=len(db_inds))
+        if self._pcount > 1:
+            per = self._batch // self._pcount
+            sl = slice(self._pid * per, (self._pid + 1) * per)
+            db_inds, scale_inds = db_inds[sl], scale_inds[sl]
         entries = [self._roidb[int(i)] for i in db_inds]
-        return get_minibatch(entries, self._canvas, self._max_gt, self._rng)
+        return get_minibatch(entries, self._canvas, self._max_gt, self._rng,
+                             target_sizes=[scales[int(i)]
+                                           for i in scale_inds])
 
     # --- checkpointable iteration state (mirrors the reference's pickled
     # cursors/permutations, train_val.py:57-78) ---
 
     def get_state(self) -> Dict:
         return {"cur": self._cur, "perm": np.asarray(self._perm),
-                "rng_state": self._rng.get_state()}
+                "rng_state": self._rng.get_state(),
+                "n_shuffles": getattr(self, "_n_shuffles", 0)}
 
     def set_state(self, state: Dict):
         self._cur = int(state["cur"])
         self._perm = np.asarray(state["perm"])
         self._rng.set_state(state["rng_state"])
+        self._n_shuffles = int(state.get("n_shuffles", 0))
 
 
 class PrefetchingDataLayer(object):

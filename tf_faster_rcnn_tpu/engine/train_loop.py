@@ -11,9 +11,12 @@ STEPSIZE boundaries happens inside the optimizer schedule (a pure function
 of the step, so resume needs no LR bookkeeping and the reference's
 pre-decay snapshot dance at :267-274 is unnecessary).
 
-Observability: losses/LR stream to stdout in the reference's format and to
-a metrics JSONL file (the TensorBoard-equivalent channel; see
-utils/metrics.py).
+Observability: losses/LR stream to stdout in the reference's format, to a
+metrics JSONL file (utils/metrics.py), and to real TensorBoard event files
+in train/val sibling dirs — scalar losses, trainable-parameter histograms,
+and the GT-boxes image summary, matching the reference writer setup
+(train_val.py:148-151, network.py:437-450) without a TF dependency
+(utils/tb_writer.py).
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ from tf_faster_rcnn_tpu.engine.train import (create_train_state,
 from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 from tf_faster_rcnn_tpu.utils import checkpoint as ckpt
 from tf_faster_rcnn_tpu.utils.metrics import MetricsWriter
+from tf_faster_rcnn_tpu.utils.tb_writer import TBEventWriter
 from tf_faster_rcnn_tpu.utils.timer import Timer
 
 __all__ = ["SolverWrapper", "train_net"]
@@ -114,12 +118,28 @@ class SolverWrapper(object):
             gv = jax.device_get(batch["gt_valid"])[0]
             info = jax.device_get(batch["im_info"])[0]
             out = draw_bounding_boxes(img, gt[gv], (info[0], info[1], 1.0))
-            Image.fromarray(np.uint8(np.clip(out, 0, 255))).save(
+            out = np.uint8(np.clip(out, 0, 255))
+            Image.fromarray(out).save(
                 os.path.join(self.tb_dir, f"gt_image_iter_{it}.png"))
+            self.tb_writer.add_image("GROUND_TRUTH", out, it)
         except Exception as e:
             print(f"gt image summary skipped: {e}")
 
+    def _write_param_histograms(self, params, it):
+        """Trainable-variable histogram summaries (network.py:442-447)."""
+        from jax.tree_util import tree_flatten_with_path, keystr
+        leaves, _ = tree_flatten_with_path(params)
+        for path, leaf in leaves:
+            tag = "TRAIN/" + keystr(path).strip("[]'").replace(
+                "']['", "/").replace("'].", "/").replace(".", "/")
+            self.tb_writer.add_histogram(tag, np.asarray(leaf), it)
+
     def snapshot(self):
+        if not getattr(self, "_is_coord", True):
+            # multi-host: state is replicated and iterator state identical
+            # on every host; only the coordinator writes (a shared or
+            # synced output_dir is assumed for restore)
+            return
         prefix = cfg.TRAIN.SNAPSHOT_PREFIX
         ckpt.snapshot(self.output_dir, prefix, self.state,
                       {"train": self.data_layer.get_state(),
@@ -130,12 +150,20 @@ class SolverWrapper(object):
     def train_model(self, max_iters):
         self.construct()
         canvas = canvas_hw(cfg.TRAIN)
+        # multi-host: every process holds identical iterator state but
+        # materializes only its slice of the global batch
+        pid, pcount = jax.process_index(), jax.process_count()
+        self._is_coord = pid == 0
         self.data_layer = RoIDataLayer(self.roidb,
                                        batch_size=self.batch_size,
-                                       canvas_hw=canvas)
+                                       canvas_hw=canvas,
+                                       process_index=pid,
+                                       process_count=pcount)
         self.data_layer_val = RoIDataLayer(self.valroidb, random=True,
                                            batch_size=self.batch_size,
-                                           canvas_hw=canvas)
+                                           canvas_hw=canvas,
+                                           process_index=pid,
+                                           process_count=pcount)
         if int(cfg.TPU.PREFETCH) > 0:
             from tf_faster_rcnn_tpu.data.loader import PrefetchingDataLayer
             self.data_layer = PrefetchingDataLayer(self.data_layer,
@@ -152,7 +180,16 @@ class SolverWrapper(object):
             np.random.set_state(meta["np_rng_state"])
             print(f"Restored from iter {step}")
 
-        writer = MetricsWriter(self.tb_dir)
+        if pcount > 1:
+            assert self.mesh is not None, "multi-host training needs a mesh"
+        # host-side observability is coordinator-only in multi-host runs
+        writer = MetricsWriter(self.tb_dir) if self._is_coord else None
+        # real TensorBoard event files, train/val sibling dirs as in the
+        # reference (train_val.py:149-151)
+        self.tb_writer = (TBEventWriter(self.tb_dir)
+                          if self._is_coord else None)
+        self.tb_writer_val = (TBEventWriter(self.tb_dir + "_val")
+                              if self._is_coord else None)
         timer = Timer()
         last_summary_time = time.time()
         state = self.state
@@ -174,7 +211,7 @@ class SolverWrapper(object):
                 profile_dir = ""
                 print(f"Wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
             timer.tic()
-            batch = self.data_layer.forward()
+            batch = host_batch = self.data_layer.forward()
             batch.pop("orig_hw", None)
             if self.mesh is not None:
                 from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
@@ -184,19 +221,40 @@ class SolverWrapper(object):
             timer.toc()
 
             now = time.time()
-            if it == 1 or now - last_summary_time > cfg.TRAIN.SUMMARY_INTERVAL:
+            # multi-host: the val forward is a collective every process must
+            # enter, so the trigger has to be deterministic (iter-count, not
+            # per-host wall clock)
+            if pcount > 1:
+                do_summary = it == 1 or (
+                    int(cfg.TPU.SUMMARY_ITERS) > 0
+                    and it % int(cfg.TPU.SUMMARY_ITERS) == 0)
+            else:
+                do_summary = (it == 1 or
+                              now - last_summary_time >
+                              cfg.TRAIN.SUMMARY_INTERVAL)
+            if do_summary:
                 m = {k: float(v) for k, v in metrics.items()}
-                writer.write(it, m, prefix="train")
                 val_batch = self.data_layer_val.forward()
                 val_batch.pop("orig_hw", None)
+                if self.mesh is not None:
+                    from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
+                    val_batch = shard_batch(self.mesh, val_batch)
                 vl = self.val_loss_fn(state.params, val_batch,
                                       jax.random.PRNGKey(it))
-                writer.write(it, {k: float(v) for k, v in vl.items()},
-                             prefix="val")
-                self._write_gt_image(batch, it)
+                vm = {k: float(v) for k, v in vl.items()}
+                if self._is_coord:
+                    writer.write(it, m, prefix="train")
+                    self.tb_writer.add_scalars(m, it)
+                    writer.write(it, vm, prefix="val")
+                    self.tb_writer_val.add_scalars(vm, it)
+                    self._write_gt_image(host_batch, it)
+                    self._write_param_histograms(
+                        jax.device_get(state.params), it)
+                    self.tb_writer.flush()
+                    self.tb_writer_val.flush()
                 last_summary_time = now
 
-            if it % cfg.TRAIN.DISPLAY == 0:
+            if it % cfg.TRAIN.DISPLAY == 0 and self._is_coord:
                 m = {k: float(v) for k, v in metrics.items()}
                 print('iter: %d / %d, total loss: %.6f\n '
                       '>>> rpn_loss_cls: %.6f\n '
@@ -218,7 +276,10 @@ class SolverWrapper(object):
         self.state = state
         if max_iters % cfg.TRAIN.SNAPSHOT_ITERS != 0:
             self.snapshot()
-        writer.close()
+        if self._is_coord:
+            writer.close()
+            self.tb_writer.close()
+            self.tb_writer_val.close()
         if hasattr(self.data_layer, "close"):
             self.data_layer.close()
         return state

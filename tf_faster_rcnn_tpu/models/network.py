@@ -177,15 +177,24 @@ class FasterRCNN(nn.Module):
         """
         s = self.spec
 
-        def one(deltas, scores, info):
+        def one(deltas, scores, info, i):
             boxes = bbox_transform_inv(anchors, deltas)
             boxes = clip_boxes(boxes, info[:2])
             if s.mode == "TEST" and s.test_mode == "top":
                 # proposal_top_layer: plain top-N scores, no NMS
                 # (lib/layer_utils/proposal_top_layer.py:58-83)
-                k = min(s.rpn_top_n, scores.shape[0])
-                top_s, idx = jax.lax.top_k(scores, k)
-                return boxes[idx], top_s, jnp.ones((k,), bool)
+                n = scores.shape[0]
+                if n < s.rpn_top_n:
+                    # fewer anchors than RPN_TOP_N: the reference pads by
+                    # random choice WITH replacement over all anchors,
+                    # ignoring scores (proposal_top_layer.py:30-33). Static
+                    # branch; deterministic key keeps TEST reproducible.
+                    key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+                    idx = jax.random.randint(key, (s.rpn_top_n,), 0, n)
+                    return (boxes[idx], scores[idx],
+                            jnp.ones((s.rpn_top_n,), bool))
+                top_s, idx = jax.lax.top_k(scores, s.rpn_top_n)
+                return boxes[idx], top_s, jnp.ones((s.rpn_top_n,), bool)
             idx, valid = sorted_nms(
                 boxes, scores, jnp.ones_like(scores, bool),
                 s.rpn_nms_thresh, s.rpn_post_nms_top_n,
@@ -194,7 +203,8 @@ class FasterRCNN(nn.Module):
                 use_pallas="auto" if s.use_pallas_nms else False)
             return boxes[idx], scores[idx], valid
 
-        return jax.vmap(one)(rpn_bbox, fg_scores, im_info)
+        return jax.vmap(one)(rpn_bbox, fg_scores, im_info,
+                             jnp.arange(rpn_bbox.shape[0]))
 
     @nn.compact
     def __call__(self, image, im_info, gt_boxes=None, gt_valid=None):

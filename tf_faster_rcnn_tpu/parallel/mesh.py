@@ -47,11 +47,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a pytree of batched arrays with the batch dim sharded."""
+    """Place a pytree of batched arrays with the batch dim sharded.
+
+    Multi-process: each process passes its LOCAL slice of the global batch
+    (data/loader.py process slicing); the global array is assembled without
+    any cross-host data movement.
+    """
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                data_sharding(mesh, np.ndim(x)), np.asarray(x)), tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), tree)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a pytree over the mesh. Multi-process: every process must
+    hold the same host value (guaranteed by the seeded init / restored
+    snapshot)."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                replicated(mesh), np.asarray(x)), tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, replicated(mesh)), tree)

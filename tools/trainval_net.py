@@ -42,6 +42,13 @@ def parse_args():
     parser.add_argument('--net', dest='net', default='res50', choices=NETS)
     parser.add_argument('--devices', dest='devices', default=0, type=int,
                         help='data-parallel devices (0 = all available)')
+    parser.add_argument('--coordinator', dest='coordinator', default=None,
+                        help='multi-host: coordinator address host:port '
+                             '(or env FRCNN_COORDINATOR)')
+    parser.add_argument('--num-procs', dest='num_procs', default=None,
+                        type=int, help='multi-host: total process count')
+    parser.add_argument('--proc-id', dest='proc_id', default=None, type=int,
+                        help='multi-host: this process id')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER,
                         help='set config keys')
@@ -87,6 +94,11 @@ def main():
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs)
 
+    # multi-host bring-up must precede any other jax use
+    from tf_faster_rcnn_tpu.parallel import dist
+    dist.initialize(coordinator_address=args.coordinator,
+                    num_processes=args.num_procs, process_id=args.proc_id)
+
     print('Using config:')
     pprint.pprint(cfg)
     np.random.seed(cfg.RNG_SEED)
@@ -108,13 +120,15 @@ def main():
     cfg.TRAIN.USE_FLIPPED = orgflip
 
     mesh = None
-    if args.devices != 1:
+    if args.devices != 1 or dist.is_initialized():
         import jax
         from tf_faster_rcnn_tpu.parallel.mesh import make_mesh
         n = args.devices or len(jax.devices())
         if n > 1:
             mesh = make_mesh(n)
-            print(f'Training data-parallel over {n} devices')
+            print(f'Training data-parallel over {n} devices'
+                  + (f' across {jax.process_count()} hosts'
+                     if jax.process_count() > 1 else ''))
 
     train_net(args.net, imdb, roidb, valroidb, output_dir, tb_dir,
               pretrained_model=args.weight, max_iters=args.max_iters,
