@@ -69,3 +69,39 @@ def test_load_params_accepts_both_formats(tmp_path):
     p2 = ckpt.load_params(sp, template)
     np.testing.assert_array_equal(np.asarray(p2["params"]["b"]),
                                   np.ones(3) * 9)
+
+
+def test_orbax_backend_roundtrip_and_mixed_discovery(tmp_path):
+    """cfg.TPU.CHECKPOINT_BACKEND='orbax' writes directory snapshots that
+    restore identically; find_previous/retention see both formats."""
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    # one msgpack snapshot first, then switch backends mid-run
+    ckpt.snapshot(str(tmp_path), "net", _state(5), {})
+    cfg.TPU.CHECKPOINT_BACKEND = "orbax"
+    s = _state(9)
+    sp, mp = ckpt.snapshot(str(tmp_path), "net", s,
+                           {"cur": 1, "perm": np.arange(3),
+                            "rng_state": np.random.RandomState(1).get_state()})
+    assert sp.endswith(".orbax") and os.path.isdir(sp)
+
+    found = ckpt.find_previous(str(tmp_path), "net")
+    assert found is not None and found[0] == 9 and found[1] == sp
+    s2 = ckpt.restore(_state(0), found[1])
+    assert int(s2.step) == 9
+    np.testing.assert_array_equal(np.asarray(s2.params["params"]["b"]),
+                                  np.ones(3) * 9)
+    np.testing.assert_array_equal(np.asarray(s2.key), np.asarray(s.key))
+
+    # load_params understands a full orbax snapshot too
+    loaded = ckpt.load_params(sp, _state(0).params)
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["b"]),
+                                  np.ones(3) * 9)
+
+    # retention removes whole orbax directories across formats
+    cfg.TPU.CHECKPOINT_BACKEND = "msgpack"
+    ckpt.snapshot(str(tmp_path), "net", _state(11), {})
+    ckpt.remove_old_snapshots(str(tmp_path), "net", keep=1)
+    left = sorted(f for f in os.listdir(tmp_path)
+                  if f.endswith((".msgpack", ".orbax")))
+    assert left == ["net_iter_11.msgpack"]

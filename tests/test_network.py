@@ -120,6 +120,43 @@ def test_train_mode_losses_and_grads(rng):
     assert gnorm > 0
 
 
+@pytest.mark.parametrize("backbone,frozen,active", [
+    ("vgg16", ("head", "conv1_1"), ("head", "conv3_1")),
+    ("res50", ("head", "block1", "unit_1", "conv1", "conv"),
+     ("head", "block2", "unit_1", "conv1", "conv")),
+    ("mobile", ("head", "base", "conv2d_0"),
+     ("head", "base", "conv2d_6", "pointwise")),
+])
+def test_frozen_prefix_gradients_are_pruned(rng, backbone, frozen, active):
+    """Freezing is a stop_gradient at the prefix boundary, not just an
+    optimizer mask: grads of frozen-prefix params must be exactly zero so
+    XLA can drop their backward convolutions."""
+    img, im_info, gt, gtv = _inputs(rng)
+    spec = _small(spec_from_cfg(backbone, 21, "TRAIN"),
+                  rpn_post_nms_top_n=64, roi_batch_size=32, rpn_batchsize=64)
+    m = FasterRCNN(spec)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    params = m.init(rngs, img, im_info, gt, gtv)
+
+    def loss_fn(p):
+        out = m.apply(p, img, im_info, gt, gtv,
+                      rngs={"sampling": jax.random.PRNGKey(3),
+                            "dropout": jax.random.PRNGKey(4)})
+        return detection_losses(out, spec)["total_loss"]
+
+    grads = jax.jit(jax.grad(loss_fn))(params)["params"]
+
+    def leaf(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree["kernel"]
+
+    assert float(jnp.abs(leaf(grads, frozen)).max()) == 0.0
+    assert float(jnp.abs(leaf(grads, active)).max()) > 0.0
+
+
 def test_trainable_masks():
     img = np.zeros((B, H, W, 3), np.float32)
     im_info = np.array([[128.0, 128.0, 1.0]], np.float32)

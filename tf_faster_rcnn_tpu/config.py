@@ -177,6 +177,9 @@ def _default_cfg() -> AttrDict:
     C.TPU.PREFETCH = 2
     # Directory for jax.profiler traces of the train step (empty = off).
     C.TPU.PROFILE_DIR = ''
+    # Snapshot format: 'msgpack' (single flat file, default) or 'orbax'
+    # (directory-per-snapshot, sharded/async-capable for very large runs).
+    C.TPU.CHECKPOINT_BACKEND = 'msgpack'
     # Multi-host runs take summaries every N iterations instead of the
     # wall-clock TRAIN.SUMMARY_INTERVAL (host clocks would desynchronize the
     # collective val-loss forward and deadlock).

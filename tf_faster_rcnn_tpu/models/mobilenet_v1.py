@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -71,6 +72,7 @@ class _Layers(nn.Module):
     stop: int
     depth_multiplier: float = 1.0
     dtype: Optional[jnp.dtype] = None
+    stop_grad_after: int = -1  # layer index; the frozen set is a prefix
 
     @nn.compact
     def __call__(self, x):
@@ -86,6 +88,10 @@ class _Layers(nn.Module):
                 x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
                                     name=name + "_bn")(x)
                 x = jnp.minimum(nn.relu(x), 6.0)
+            if i == self.stop_grad_after:
+                # frozen prefix (MOBILENET.FIXED_LAYERS): prune its backward
+                # pass instead of compute-and-discard via the optimizer mask
+                x = jax.lax.stop_gradient(x)
         return x
 
 
@@ -93,10 +99,12 @@ class MobileNetV1Head(nn.Module):
     """Layers 0-11 -> stride-16, 512*m-channel features."""
     depth_multiplier: float = 1.0
     dtype: Optional[jnp.dtype] = None
+    fixed_layers: int = 0
 
     @nn.compact
     def __call__(self, x):
         return _Layers(0, 12, self.depth_multiplier, dtype=self.dtype,
+                       stop_grad_after=self.fixed_layers - 1,
                        name="base")(x)
 
 

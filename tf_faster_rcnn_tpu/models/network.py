@@ -59,6 +59,12 @@ class ModelSpec:
     rpn_top_n: int = 5000
     use_pallas_nms: bool = True    # the reference's USE_GPU_NMS analog
     space_to_depth: bool = False   # exact 4x4 resnet stem (TPU.SPACE_TO_DEPTH)
+    # freeze prefixes (RESNET.FIXED_BLOCKS / MOBILENET.FIXED_LAYERS). The
+    # optimizer mask makes the updates zero; the heads ALSO stop_gradient at
+    # the freeze boundary so XLA prunes the whole backward pass through the
+    # frozen stem (the reference gets this from trainable=False/slim scopes)
+    fixed_blocks: int = 1
+    fixed_layers: int = 5
     # RPN target sampling (TRAIN)
     rpn_batchsize: int = 256
     rpn_fg_fraction: float = 0.5
@@ -112,6 +118,8 @@ def spec_from_cfg(backbone: str, num_classes: int, mode: str) -> ModelSpec:
         rpn_top_n=int(cfg.TEST.RPN_TOP_N),
         use_pallas_nms=bool(cfg.TPU.USE_PALLAS_NMS),
         space_to_depth=bool(cfg.TPU.SPACE_TO_DEPTH),
+        fixed_blocks=int(cfg.RESNET.FIXED_BLOCKS),
+        fixed_layers=int(cfg.MOBILENET.FIXED_LAYERS),
         rpn_batchsize=int(cfg.TRAIN.RPN_BATCHSIZE),
         rpn_fg_fraction=float(cfg.TRAIN.RPN_FG_FRACTION),
         rpn_positive_overlap=float(cfg.TRAIN.RPN_POSITIVE_OVERLAP),
@@ -138,9 +146,11 @@ def build_head(spec: "ModelSpec", name: Optional[str] = "head"):
     if spec.backbone in ("res50", "res101", "res152"):
         return resnet_v1.ResNetV1Head(int(spec.backbone[3:]), dtype=dt,
                                       space_to_depth=spec.space_to_depth,
+                                      fixed_blocks=spec.fixed_blocks,
                                       name=name)
     if spec.backbone == "mobile":
         return mobilenet_v1.MobileNetV1Head(spec.depth_multiplier, dtype=dt,
+                                            fixed_layers=spec.fixed_layers,
                                             name=name)
     raise ValueError(f"unknown backbone {spec.backbone}")
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -127,6 +128,7 @@ class ResNetV1Head(nn.Module):
     num_layers: int = 101
     dtype: Optional[jnp.dtype] = None
     space_to_depth: bool = False
+    fixed_blocks: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -143,11 +145,18 @@ class ResNetV1Head(nn.Module):
         x = nn.relu(x)
         x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        # the freeze set is a strict prefix (stem always + first
+        # fixed_blocks blocks, resnet_v1.py:88-113): a stop_gradient at the
+        # boundary lets XLA drop the frozen prefix's backward convolutions
+        # (the optimizer mask alone would compute-and-discard them)
+        x = jax.lax.stop_gradient(x)
         # block1/2 stride 2, block3 stride 1 (conv4 at stride 16)
         strides = (2, 2, 1)
         for b in range(3):
             x = _Block(_BASE_DEPTHS[b], units[b], strides[b],
                        dtype=self.dtype, name=f"block{b + 1}")(x)
+            if b + 1 <= self.fixed_blocks:
+                x = jax.lax.stop_gradient(x)
         return x
 
 

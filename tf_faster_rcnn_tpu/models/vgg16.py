@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -32,6 +33,12 @@ class VGG16Head(nn.Module):
                 x = nn.relu(x)
             if i < len(_CFG) - 1:  # no pool after conv5
                 x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+            if name == "conv2":
+                # conv1/conv2 are always frozen; stopping the gradient here
+                # lets XLA prune their (highest-resolution, most expensive)
+                # backward convolutions entirely — the optimizer mask alone
+                # would compute those grads and discard them
+                x = jax.lax.stop_gradient(x)
         return x
 
 

@@ -8,6 +8,11 @@ state, step, *and* the jax PRNG key — closing that reference gap) plus a
 pickle sidecar of the host data-iterator state. Retention keeps the last
 SNAPSHOT_KEPT (:221-240); resume picks the newest by step (find_previous,
 :155-175).
+
+Backends: 'msgpack' (default — one flat file, ideal at this model scale)
+or 'orbax' (cfg.TPU.CHECKPOINT_BACKEND) — an orbax PyTree directory per
+snapshot, for sharded/async-friendly checkpoints of much larger runs. Both
+formats are discovered by find_previous and restored transparently.
 """
 
 from __future__ import annotations
@@ -25,8 +30,14 @@ __all__ = ["snapshot", "restore", "find_previous", "remove_old_snapshots",
            "save_params", "load_params"]
 
 
-def _state_path(output_dir, prefix, step):
-    return os.path.join(output_dir, f"{prefix}_iter_{step}.msgpack")
+def _backend():
+    from tf_faster_rcnn_tpu.config import cfg
+    return str(cfg.TPU.CHECKPOINT_BACKEND)
+
+
+def _state_path(output_dir, prefix, step, backend=None):
+    ext = "orbax" if (backend or _backend()) == "orbax" else "msgpack"
+    return os.path.join(output_dir, f"{prefix}_iter_{step}.{ext}")
 
 
 def _meta_path(output_dir, prefix, step):
@@ -39,10 +50,17 @@ def snapshot(output_dir, prefix, state, data_state: dict,
     os.makedirs(output_dir, exist_ok=True)
     step = int(state.step)
     sp = _state_path(output_dir, prefix, step)
-    with open(sp, "wb") as f:
-        f.write(serialization.to_bytes(
-            {"params": state.params, "opt_state": state.opt_state,
-             "step": state.step, "key": state.key}))
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step, "key": state.key}
+    if sp.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(sp), tree, force=True)
+        ckptr.wait_until_finished()
+        ckptr.close()
+    else:
+        with open(sp, "wb") as f:
+            f.write(serialization.to_bytes(tree))
     mp = _meta_path(output_dir, prefix, step)
     meta = {"data_state": data_state, "np_rng_state": np.random.get_state(),
             "step": step}
@@ -55,11 +73,18 @@ def snapshot(output_dir, prefix, state, data_state: dict,
 
 
 def restore(state, path: str):
-    """Restore a TrainState from a snapshot msgpack (structure-checked)."""
-    with open(path, "rb") as f:
-        target = {"params": state.params, "opt_state": state.opt_state,
-                  "step": state.step, "key": state.key}
-        loaded = serialization.from_bytes(target, f.read())
+    """Restore a TrainState from a snapshot (structure-checked). The format
+    is detected from the path, independent of the configured backend."""
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": state.step, "key": state.key}
+    if path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        loaded = ckptr.restore(os.path.abspath(path), target=target)
+        ckptr.close()
+    else:
+        with open(path, "rb") as f:
+            loaded = serialization.from_bytes(target, f.read())
     return state.replace(params=loaded["params"],
                          opt_state=loaded["opt_state"],
                          step=loaded["step"], key=loaded["key"])
@@ -81,31 +106,34 @@ def find_previous(output_dir, prefix):
     are NOT skipped — skipping would silently retrain up to SNAPSHOT_ITERS
     iterations (or restart entirely when the boundary snapshot is the only
     one)."""
-    pattern = os.path.join(output_dir, f"{prefix}_iter_*.msgpack")
-    steps = []
-    for p in glob.glob(pattern):
-        m = re.search(r"_iter_(\d+)\.msgpack$", p)
-        if m:
-            steps.append(int(m.group(1)))
-    steps = sorted(steps)
-    if not steps:
+    entries = {}
+    for ext in ("msgpack", "orbax"):
+        for p in glob.glob(os.path.join(output_dir,
+                                        f"{prefix}_iter_*.{ext}")):
+            m = re.search(r"_iter_(\d+)\.(msgpack|orbax)$", p)
+            if m:
+                entries[int(m.group(1))] = p
+    if not entries:
         return None
-    s = steps[-1]
-    return s, _state_path(output_dir, prefix, s), _meta_path(output_dir,
-                                                             prefix, s)
+    s = max(entries)
+    return s, entries[s], _meta_path(output_dir, prefix, s)
 
 
 def remove_old_snapshots(output_dir, prefix, keep: int):
-    pattern = os.path.join(output_dir, f"{prefix}_iter_*.msgpack")
     entries = []
-    for p in glob.glob(pattern):
-        m = re.search(r"_iter_(\d+)\.msgpack$", p)
-        if m:
-            entries.append((int(m.group(1)), p))
+    for ext in ("msgpack", "orbax"):
+        for p in glob.glob(os.path.join(output_dir,
+                                        f"{prefix}_iter_*.{ext}")):
+            m = re.search(r"_iter_(\d+)\.(msgpack|orbax)$", p)
+            if m:
+                entries.append((int(m.group(1)), p))
     entries.sort()
     for step, p in entries[:-keep] if keep > 0 else []:
         for path in (p, _meta_path(output_dir, prefix, step)):
-            if os.path.exists(path):
+            if os.path.isdir(path):
+                import shutil
+                shutil.rmtree(path)
+            elif os.path.exists(path):
                 os.remove(path)
 
 
@@ -119,8 +147,14 @@ def save_params(path, params):
 def load_params(path, params_template):
     """Load model params from either a bare save_params export or a full
     training snapshot (which wraps them as {params, opt_state, step, key})."""
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
+    if path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        raw = ckptr.restore(os.path.abspath(path))
+        ckptr.close()
+    else:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
     if isinstance(raw, dict) and {"params", "opt_state", "step"} <= set(raw):
         raw = raw["params"]
     return serialization.from_state_dict(params_template, raw)
