@@ -223,3 +223,29 @@ def test_eval_pipeline_top_mode(mini_voc):
     mean_ap = test_net(model, spec, params, imdb, 'top', max_per_image=10,
                        batch_size=2, output_dir=out_dir)
     assert 0.0 <= mean_ap <= 1.0
+
+
+def test_transfer_dtype_bf16_equivalence(mini_voc):
+    """Under bf16 compute the loader ships bf16 canvases; values must equal
+    the f32 canvases cast to bf16 (the cast merely moves across the PCIe
+    boundary — the model's first op did it before)."""
+    import ml_dtypes
+    from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    imdb = get_imdb('voc_2007_trainval')
+    imdb.set_proposal_method('gt')
+    prepare_roidb(imdb)
+
+    layer = RoIDataLayer(imdb.roidb, batch_size=2)
+    f32 = layer.forward()
+    assert f32['image'].dtype == np.float32
+
+    cfg.TPU.COMPUTE_DTYPE = 'bfloat16'
+    layer2 = RoIDataLayer(imdb.roidb, batch_size=2)
+    bf16 = layer2.forward()
+    assert bf16['image'].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        f32['image'].astype(ml_dtypes.bfloat16), bf16['image'])
+    for k in ('im_info', 'gt_boxes', 'gt_valid'):
+        np.testing.assert_array_equal(f32[k], bf16[k])

@@ -10,10 +10,42 @@ batch compiles to the same program; the true extent travels in im_info.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Tuple
 
 import cv2
 import numpy as np
+
+_POOL = None
+
+
+def image_pool() -> ThreadPoolExecutor:
+    """Shared thread pool for per-image decode/resize/pad work. cv2 releases
+    the GIL, so batch prep scales with cores — the single-producer prep was
+    measured at 41 img/s host-side vs 184 img/s device-side (v5e, batch 8),
+    making the host the end-to-end eval bottleneck."""
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(
+            max_workers=min(16, os.cpu_count() or 8),
+            thread_name_prefix="imgprep")
+    return _POOL
+
+
+def transfer_dtype() -> np.dtype:
+    """Host->device dtype for image batches: the compute dtype.
+
+    The model's first op casts the image to TPU.COMPUTE_DTYPE
+    (models/network.py), so shipping canvases already cast is numerically
+    identical and halves PCIe/relay bytes and canvas memset cost for bf16
+    runs. f32 runs are unchanged."""
+    from tf_faster_rcnn_tpu.config import cfg
+    name = str(cfg.TPU.COMPUTE_DTYPE)
+    if name in ("float32", "float64"):
+        return np.dtype(np.float32)
+    import ml_dtypes
+    return np.dtype(getattr(ml_dtypes, name))
 
 
 def prep_im_for_blob(im, pixel_means, target_size, max_size):

@@ -23,8 +23,8 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from tf_faster_rcnn_tpu.config import cfg
-from tf_faster_rcnn_tpu.data.blob import (im_to_canvas, prep_im_for_blob,
-                                          read_image_bgr)
+from tf_faster_rcnn_tpu.data.blob import (image_pool, prep_im_for_blob,
+                                          read_image_bgr, transfer_dtype)
 
 __all__ = ["RoIDataLayer", "get_minibatch"]
 
@@ -50,25 +50,36 @@ def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
     rng = rng or np.random
     b = len(roidb_entries)
     ch, cw = canvas_hw
-    images = np.zeros((b, ch, cw, 3), np.float32)
+    images = np.zeros((b, ch, cw, 3), transfer_dtype())
     im_info = np.zeros((b, 3), np.float32)
     gt_boxes = np.zeros((b, max_gt, 5), np.float32)
     gt_valid = np.zeros((b, max_gt), bool)
     orig_hw = np.zeros((b, 2), np.float32)
 
-    for i, entry in enumerate(roidb_entries):
-        target_size = (target_sizes[i] if target_sizes is not None
-                       else _sample_scale(rng))
+    # all RNG draws happen up front in call order (identical stream to the
+    # previous sequential loop) so the per-image work is pure and can fan
+    # out over the image pool
+    if target_sizes is None:
+        target_sizes = [_sample_scale(rng) for _ in roidb_entries]
+
+    def _load(i, entry):
         im = read_image_bgr(entry['image'])
         orig_hw[i] = (im.shape[0], im.shape[1])
         if entry.get('flipped', False):
             im = im[:, ::-1, :]
-        im, scale = prep_im_for_blob(im, cfg.PIXEL_MEANS, target_size,
+        im, scale = prep_im_for_blob(im, cfg.PIXEL_MEANS, target_sizes[i],
                                      cfg.TRAIN.MAX_SIZE)
-        canvas, (h, w) = im_to_canvas(im, canvas_hw)
-        images[i] = canvas
+        h, w = im.shape[0], im.shape[1]
+        assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
+        images[i, :h, :w] = im
         im_info[i] = (h, w, scale)
+        return scale
 
+    scales_out = list(image_pool().map(
+        _load, range(b), roidb_entries))
+
+    for i, entry in enumerate(roidb_entries):
+        scale = scales_out[i]
         if cfg.TRAIN.USE_ALL_GT:
             gt_inds = np.where(entry['gt_classes'] != 0)[0]
         else:

@@ -19,8 +19,9 @@ from typing import Optional
 import numpy as np
 
 from tf_faster_rcnn_tpu.config import canvas_hw, cfg
-from tf_faster_rcnn_tpu.data.blob import (im_to_canvas, prep_im_for_blob,
-                                          read_image_bgr)
+from tf_faster_rcnn_tpu.data.blob import (im_to_canvas, image_pool,
+                                          prep_im_for_blob, read_image_bgr,
+                                          transfer_dtype)
 from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
 from tf_faster_rcnn_tpu.utils.native import nms_cpu
 from tf_faster_rcnn_tpu.utils.timer import Timer
@@ -54,17 +55,21 @@ def make_detect_fn(model, spec, max_per_image: Optional[int] = None,
 def _prep_batch(paths, canvas):
     b = len(paths)
     ch, cw = canvas
-    images = np.zeros((b, ch, cw, 3), np.float32)
+    images = np.zeros((b, ch, cw, 3), transfer_dtype())
     im_info = np.zeros((b, 3), np.float32)
     orig_hw = np.zeros((b, 2), np.float32)
-    for i, p in enumerate(paths):
+
+    def _load(i, p):
         im = read_image_bgr(p)
         orig_hw[i] = (im.shape[0], im.shape[1])
         prepped, scale = prep_im_for_blob(
             im, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
-        c, (h, w) = im_to_canvas(prepped, canvas)
-        images[i] = c
+        h, w = prepped.shape[0], prepped.shape[1]
+        assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
+        images[i, :h, :w] = prepped
         im_info[i] = (h, w, scale)
+
+    list(image_pool().map(_load, range(b), paths))
     return images, im_info, orig_hw
 
 

@@ -80,6 +80,11 @@ def main():
                                  'mobile'))
     parser.add_argument('--model', dest='model', default=None,
                         help='params msgpack or slim var dict')
+    parser.add_argument('--dataset', dest='dataset', default=None,
+                        choices=('pascal_voc', 'pascal_voc_0712'),
+                        help='reference-parity shorthand (demo.py:118-126): '
+                             'resolves --model to the trained snapshot under '
+                             'output/<net>/<imdb>/default/')
     parser.add_argument('--cfg', dest='cfg_file', default=None)
     parser.add_argument('--demo-dir', default=DEFAULT_DEMO_DIR)
     parser.add_argument('--out-dir', default='demo_out')
@@ -90,6 +95,17 @@ def main():
 
     if args.cfg_file:
         cfg_from_file(args.cfg_file)
+
+    if args.dataset and not args.model:
+        # reference demo resolves (net, dataset) -> snapshot path
+        # (/root/reference/tools/demo.py:38-41,118-126); same layout here
+        imdb = {'pascal_voc': 'voc_2007_trainval',
+                'pascal_voc_0712':
+                    'voc_2007_trainval+voc_2012_trainval'}[args.dataset]
+        iters = {'vgg16': 70000}.get(args.net, 110000)
+        args.model = osp.join(
+            'output', args.net, imdb, 'default',
+            f'{args.net}_faster_rcnn_iter_{iters}.msgpack')
 
     spec = spec_from_cfg(args.net, 21, 'TEST')
     model = FasterRCNN(spec)
