@@ -92,3 +92,38 @@ def test_lr_decay_applied_at_boundary():
     k2 = float(s2.params["params"]["rpn_conv"]["kernel"][0, 0])
     np.testing.assert_allclose(1.0 - k1, 0.1, rtol=1e-6)
     np.testing.assert_allclose(k1 - k2, 0.01, rtol=1e-5)
+
+
+def test_nan_guard_skips_nonfinite_steps():
+    """TPU.NAN_GUARD semantics: a non-finite loss/grad leaves params and
+    momentum untouched (step/key still advance); finite steps update."""
+    from tests.test_multichip import _tiny_setup
+    from tf_faster_rcnn_tpu.engine.train import create_train_state, \
+        make_train_step
+    spec, model, params, batch = _tiny_setup(1)
+    state = create_train_state(spec, params, jax.random.PRNGKey(3))
+    step_fn = make_train_step(model, spec, weight_decay=1e-4,
+                              mobile_weight_decay=4e-5, donate=False,
+                              nan_guard=True)
+
+    # finite case: update applies, not skipped
+    s1, m1 = step_fn(state, batch)
+    assert float(m1["step_skipped"]) == 0.0
+    k0 = np.asarray(state.params["params"]["rpn_conv"]["kernel"])
+    k1 = np.asarray(s1.params["params"]["rpn_conv"]["kernel"])
+    assert not np.array_equal(k0, k1)
+
+    # poison one parameter -> non-finite loss -> whole update skipped
+    bad = jax.tree_util.tree_map(lambda x: x, state.params)
+    bad["params"]["rpn_conv"]["kernel"] = (
+        bad["params"]["rpn_conv"]["kernel"].at[0].set(jnp.nan))
+    bad_state = state.replace(params=bad)
+    s2, m2 = step_fn(bad_state, batch)
+    assert float(m2["step_skipped"]) == 1.0
+    assert int(s2.step) == int(bad_state.step) + 1
+    for a, b in zip(jax.tree_util.tree_leaves(bad_state.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(bad_state.opt_state),
+                    jax.tree_util.tree_leaves(s2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

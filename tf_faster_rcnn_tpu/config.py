@@ -184,6 +184,12 @@ def _default_cfg() -> AttrDict:
     # wall-clock TRAIN.SUMMARY_INTERVAL (host clocks would desynchronize the
     # collective val-loss forward and deadlock).
     C.TPU.SUMMARY_ITERS = 500
+    # On-device failure detection (absent in the reference — NaN blowups are
+    # a README pointer there): skip the params/momentum update whenever the
+    # loss or any gradient is non-finite; the train loop aborts after
+    # NAN_GUARD_PATIENCE consecutive skipped steps (0 = never abort).
+    C.TPU.NAN_GUARD = True
+    C.TPU.NAN_GUARD_PATIENCE = 50
 
     return C
 

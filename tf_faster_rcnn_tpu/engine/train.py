@@ -109,12 +109,18 @@ def create_train_state(spec: ModelSpec, params, key) -> TrainState:
 def make_train_step(model: FasterRCNN, spec: ModelSpec, *,
                     weight_decay: float, mobile_weight_decay: float,
                     bias_decay: bool = False, lr_fn: Optional[Callable] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, nan_guard: bool = False) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics).
 
     batch: dict with 'image' [B,H,W,3], 'im_info' [B,3], 'gt_boxes'
     [B,G,5], 'gt_valid' [B,G]. All batch entries may be sharded over the
     mesh data axis; state is replicated.
+
+    nan_guard: on-device failure detection the reference lacks (NaN blowups
+    are a README pointer there, README.md:170). When the loss or any
+    gradient is non-finite, the params/momentum update is skipped entirely
+    (step still advances, RNG key still splits) and metrics report
+    step_skipped=1 so the driver can count and abort on persistent failure.
     """
 
     def loss_fn(params, batch, key):
@@ -136,7 +142,20 @@ def make_train_step(model: FasterRCNN, spec: ModelSpec, *,
         key, new_key = jax.random.split(state.key)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, batch, key)
-        new_state = state.apply_gradients(grads).replace(key=new_key)
+        if nan_guard:
+            finite = jnp.isfinite(metrics["total_loss"])
+            finite &= jax.tree_util.tree_reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+                jnp.asarray(True))
+            new_state = jax.lax.cond(
+                finite,
+                lambda s: s.apply_gradients(grads),
+                lambda s: s.replace(step=s.step + 1),
+                state)
+            metrics["step_skipped"] = 1.0 - finite.astype(jnp.float32)
+        else:
+            new_state = state.apply_gradients(grads)
+        new_state = new_state.replace(key=new_key)
         if lr_fn is not None:
             metrics["learning_rate"] = lr_fn(state.step)
         return new_state, metrics

@@ -89,7 +89,8 @@ class SolverWrapper(object):
             weight_decay=float(cfg.TRAIN.WEIGHT_DECAY),
             mobile_weight_decay=float(cfg.MOBILENET.WEIGHT_DECAY),
             bias_decay=bool(cfg.TRAIN.BIAS_DECAY),
-            lr_fn=self.lr_fn)
+            lr_fn=self.lr_fn,
+            nan_guard=bool(cfg.TPU.NAN_GUARD))
 
         # eval-style val forward for the periodic summary
         val_spec = self.spec
@@ -219,6 +220,24 @@ class SolverWrapper(object):
             state, metrics = self.step_fn(state, batch)
             it += 1
             timer.toc()
+
+            # failure detection: a non-finite loss/grad step was skipped on
+            # device; persistent failure means training is dead — stop with
+            # a clear message instead of burning the rest of the schedule
+            if float(metrics.get("step_skipped", 0.0)) > 0.0:
+                self._skip_streak = getattr(self, "_skip_streak", 0) + 1
+                if self._is_coord:
+                    print(f"WARNING: iter {it}: non-finite loss/grads — "
+                          f"update skipped ({self._skip_streak} consecutive)")
+                patience = int(cfg.TPU.NAN_GUARD_PATIENCE)
+                if patience and self._skip_streak >= patience:
+                    self.state = state
+                    self.snapshot()
+                    raise RuntimeError(
+                        f"training diverged: {self._skip_streak} consecutive "
+                        f"non-finite steps (snapshot saved at iter {it})")
+            else:
+                self._skip_streak = 0
 
             now = time.time()
             # multi-host: the val forward is a collective every process must
