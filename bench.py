@@ -39,14 +39,20 @@ def main():
     from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # host-side space-to-depth input (exact 4x4 stem rewrite): the 3-channel
+    # 7x7/2 stem runs at ~5 TF/s on the MXU; with the relayout done by the
+    # host image pool the whole detect program measures ~4% faster
+    cfg.TPU.SPACE_TO_DEPTH = True
     spec = dataclasses.replace(
         spec_from_cfg("res101", 21, "TEST"),
         rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
     model = FasterRCNN(spec)
 
+    from tf_faster_rcnn_tpu.data.blob import space_to_depth
     h, w = CANVAS
     rng = np.random.RandomState(0)
     image = rng.randn(BATCH, h, w, 3).astype(np.float32) * 40.0
+    image = np.stack([space_to_depth(im) for im in image])
     im_info = np.tile(np.array([[600.0, 1000.0, 1.6]], np.float32),
                       (BATCH, 1))
     orig_hw = np.tile(np.array([[375.0, 625.0]], np.float32), (BATCH, 1))

@@ -268,7 +268,10 @@ def test_space_to_depth_stem_is_exact(rng):
 
 def test_space_to_depth_full_model_equivalence(rng):
     """res50 detect outputs agree between s2d and plain stems when the s2d
-    conv1 kernel is the transform of the plain one."""
+    conv1 kernel is the transform of the plain one. The s2d model consumes
+    a HOST-transformed input (data/blob.py space_to_depth) — the on-device
+    relayout was measured slower than the plain stem."""
+    from tf_faster_rcnn_tpu.data.blob import space_to_depth
     from tf_faster_rcnn_tpu.models.resnet_v1 import s2d_conv1_kernel
     img, im_info, _, _ = _inputs(rng)
     spec_plain = _small(spec_from_cfg("res50", 21, "TEST"),
@@ -280,8 +283,9 @@ def test_space_to_depth_full_model_equivalence(rng):
     p2 = copy.deepcopy(jax.device_get(params))
     p2["params"]["head"]["conv1"]["kernel"] = s2d_conv1_kernel(
         p2["params"]["head"]["conv1"]["kernel"])
+    img_s2d = np.stack([space_to_depth(np.asarray(im)) for im in img])
     out1 = m_plain.apply(params, img, im_info)
-    out2 = m_s2d.apply(p2, img, im_info)
+    out2 = m_s2d.apply(p2, img_s2d, im_info)
     np.testing.assert_allclose(np.asarray(out2["cls_prob"]),
                                np.asarray(out1["cls_prob"]),
                                rtol=1e-3, atol=1e-4)

@@ -249,3 +249,23 @@ def test_transfer_dtype_bf16_equivalence(mini_voc):
         f32['image'].astype(ml_dtypes.bfloat16), bf16['image'])
     for k in ('im_info', 'gt_boxes', 'gt_valid'):
         np.testing.assert_array_equal(f32[k], bf16[k])
+
+
+def test_loader_space_to_depth_batches(mini_voc):
+    """Under TPU.SPACE_TO_DEPTH the loader ships [B, H/2, W/2, 12] canvases
+    that are exactly the 2x2 space-to-depth of the plain canvases."""
+    from tf_faster_rcnn_tpu.data.blob import space_to_depth
+    from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    imdb = get_imdb('voc_2007_trainval')
+    imdb.set_proposal_method('gt')
+    prepare_roidb(imdb)
+
+    plain = RoIDataLayer(imdb.roidb, batch_size=2).forward()
+    cfg.TPU.SPACE_TO_DEPTH = True
+    s2d = RoIDataLayer(imdb.roidb, batch_size=2).forward()
+    assert s2d['image'].shape == (2, 48, 64, 12)
+    want = np.stack([space_to_depth(im) for im in plain['image']])
+    np.testing.assert_array_equal(want, s2d['image'])
+    np.testing.assert_array_equal(plain['im_info'], s2d['im_info'])

@@ -83,6 +83,34 @@ def im_to_canvas(im, canvas_hw: Tuple[int, int]):
     return canvas, (h, w)
 
 
+def space_to_depth(im):
+    """Host-side 2x2 space-to-depth of one [H, W, C] image (odd extents are
+    zero-padded to even — identical to the zeros of the canvas it lands on).
+
+    Pairs with the ResNet 4x4 stem (models/resnet_v1.py s2d_conv1_kernel):
+    the relayout costs more than the fast stem saves when done on-device, so
+    under cfg.TPU.SPACE_TO_DEPTH the batch builders ship images already
+    transformed ([B, H/2, W/2, 4C] canvases)."""
+    h, w, c = im.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        im = np.pad(im, ((0, ph), (0, pw), (0, 0)))
+        h, w = h + ph, w + pw
+    im = im.reshape(h // 2, 2, w // 2, 2, c).transpose(0, 2, 1, 3, 4)
+    return im.reshape(h // 2, w // 2, 4 * c)
+
+
+def batch_image_shape(b: int, canvas_hw: Tuple[int, int]):
+    """Shape of the image batch array the host ships: the raw canvas, or
+    the 2x2 space-to-depth layout under cfg.TPU.SPACE_TO_DEPTH."""
+    from tf_faster_rcnn_tpu.config import cfg
+    ch, cw = canvas_hw
+    if bool(cfg.TPU.SPACE_TO_DEPTH):
+        assert ch % 2 == 0 and cw % 2 == 0, "canvas must be even for s2d"
+        return (b, ch // 2, cw // 2, 12), True
+    return (b, ch, cw, 3), False
+
+
 def read_image_bgr(path):
     """cv2 imread (BGR, matching the reference's pixel means order)."""
     im = cv2.imread(path)

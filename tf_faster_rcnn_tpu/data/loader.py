@@ -23,8 +23,9 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from tf_faster_rcnn_tpu.config import cfg
-from tf_faster_rcnn_tpu.data.blob import (image_pool, prep_im_for_blob,
-                                          read_image_bgr, transfer_dtype)
+from tf_faster_rcnn_tpu.data.blob import (batch_image_shape, image_pool,
+                                          prep_im_for_blob, read_image_bgr,
+                                          space_to_depth, transfer_dtype)
 
 __all__ = ["RoIDataLayer", "get_minibatch"]
 
@@ -50,7 +51,8 @@ def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
     rng = rng or np.random
     b = len(roidb_entries)
     ch, cw = canvas_hw
-    images = np.zeros((b, ch, cw, 3), transfer_dtype())
+    img_shape, s2d = batch_image_shape(b, canvas_hw)
+    images = np.zeros(img_shape, transfer_dtype())
     im_info = np.zeros((b, 3), np.float32)
     gt_boxes = np.zeros((b, max_gt, 5), np.float32)
     gt_valid = np.zeros((b, max_gt), bool)
@@ -71,7 +73,11 @@ def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
                                      cfg.TRAIN.MAX_SIZE)
         h, w = im.shape[0], im.shape[1]
         assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
-        images[i, :h, :w] = im
+        if s2d:
+            im = space_to_depth(im)
+            images[i, :im.shape[0], :im.shape[1]] = im
+        else:
+            images[i, :h, :w] = im
         im_info[i] = (h, w, scale)
         return scale
 

@@ -62,8 +62,9 @@ class SolverWrapper(object):
         b = int(cfg.TPU.IMS_PER_DEVICE) * (
             len(self.mesh.devices.flat) if self.mesh is not None else 1)
         self.batch_size = b
+        from tf_faster_rcnn_tpu.data.blob import batch_image_shape
         dummy = {
-            "image": np.zeros((1,) + canvas + (3,), np.float32),
+            "image": np.zeros(batch_image_shape(1, canvas)[0], np.float32),
             "im_info": np.array([[canvas[0], canvas[1], 1.0]], np.float32),
             "gt_boxes": np.zeros((1, cfg.TPU.MAX_GT, 5), np.float32),
             "gt_valid": np.zeros((1, cfg.TPU.MAX_GT), bool),
@@ -113,7 +114,12 @@ class SolverWrapper(object):
             from PIL import Image
             from tf_faster_rcnn_tpu.utils.visualization import \
                 draw_bounding_boxes
-            img = jax.device_get(batch["image"])[0] + cfg.PIXEL_MEANS
+            img = np.asarray(jax.device_get(batch["image"])[0], np.float32)
+            if img.shape[-1] == 12:  # invert the host space-to-depth layout
+                h2, w2, _ = img.shape
+                img = img.reshape(h2, w2, 2, 2, 3).transpose(
+                    0, 2, 1, 3, 4).reshape(h2 * 2, w2 * 2, 3)
+            img = img + cfg.PIXEL_MEANS
             img = img[:, :, ::-1]  # BGR -> RGB
             gt = jax.device_get(batch["gt_boxes"])[0]
             gv = jax.device_get(batch["gt_valid"])[0]

@@ -99,6 +99,9 @@ def spec_from_cfg(backbone: str, num_classes: int, mode: str) -> ModelSpec:
     pre = int(phase.RPN_PRE_NMS_TOP_N)
     if cfg.TPU.RPN_NMS_CAP:
         pre = int(cfg.TPU.RPN_NMS_CAP)
+    if cfg.TPU.SPACE_TO_DEPTH and backbone not in ("res50", "res101",
+                                                   "res152"):
+        raise ValueError("TPU.SPACE_TO_DEPTH supports ResNet backbones only")
     return ModelSpec(
         backbone=backbone,
         num_classes=num_classes,
@@ -226,7 +229,9 @@ class FasterRCNN(nn.Module):
         train = s.mode == "TRAIN"
         a = s.num_anchors
         b, hh, ww, _ = image.shape
-        assert hh % s.feat_stride == 0 and ww % s.feat_stride == 0, (
+        # with a space-to-depth input the spatial dims arrive pre-halved
+        stride = s.feat_stride // 2 if s.space_to_depth else s.feat_stride
+        assert hh % stride == 0 and ww % stride == 0, (
             "canvas must be a multiple of the feature stride")
 
         net_conv = self._head()(image.astype(s.dtype))

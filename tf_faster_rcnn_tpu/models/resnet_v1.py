@@ -124,7 +124,11 @@ class ResNetV1Head(nn.Module):
 
     space_to_depth=True runs the mathematically-identical 4x4 stem on a
     2x2 space-to-depth input (kernel shape [4,4,12,64]; import via
-    s2d_conv1_kernel)."""
+    s2d_conv1_kernel). The caller supplies the input ALREADY transformed
+    ([B, H/2, W/2, 4C], see data/blob.py space_to_depth) — doing the
+    relayout on device costs more than the fast stem saves (measured
+    5.8 ms vs 2.5 ms vs the 4.6 ms plain 7x7 stem, v5e batch-8 608x1024),
+    while the host transform rides the image pool."""
     num_layers: int = 101
     dtype: Optional[jnp.dtype] = None
     space_to_depth: bool = False
@@ -134,10 +138,12 @@ class ResNetV1Head(nn.Module):
     def __call__(self, x):
         units = BLOCK_UNITS[self.num_layers]
         if self.space_to_depth:
-            z = space_to_depth_2x2(x)
+            assert x.shape[-1] == 12, (
+                "space_to_depth head expects a host-transformed "
+                f"[B, H/2, W/2, 12] input, got {x.shape}")
             x = nn.Conv(64, (4, 4), strides=(1, 1),
                         padding=((2, 1), (2, 1)), use_bias=False,
-                        dtype=self.dtype, name="conv1")(z)
+                        dtype=self.dtype, name="conv1")(x)
         else:
             x = ConvSame(64, 7, 2, use_bias=False, dtype=self.dtype,
                          name="conv1")(x)

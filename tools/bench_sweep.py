@@ -1,9 +1,12 @@
-"""Batch-size throughput sweep for the bench workload (R101 600px TEST).
+"""Throughput sweep for the bench workload (600px TEST).
+
+Sweeps batch size and/or backbone.
 
 Measures images/sec/chip at several batch sizes to pick the bench batch.
 Same methodology as bench.py (on-device fori_loop timing, best-of-N).
 
 Usage: python tools/bench_sweep.py [--batches 4,8,16,32] [--iters 20]
+       python tools/bench_sweep.py --net vgg16 --batches 8
 """
 
 import argparse
@@ -15,7 +18,8 @@ import _init_paths  # noqa: F401
 import numpy as np
 
 
-def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024)):
+def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
+            net="res101"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -25,7 +29,7 @@ def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024)):
 
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     spec = dataclasses.replace(
-        spec_from_cfg("res101", 21, "TEST"),
+        spec_from_cfg(net, 21, "TEST"),
         rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
     model = FasterRCNN(spec)
 
@@ -70,13 +74,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="4,8,16,32")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--net", default="res101",
+                    choices=("vgg16", "res50", "res101", "res152", "mobile"))
     args = ap.parse_args()
     from tf_faster_rcnn_tpu.utils.compilation_cache import \
         enable_compilation_cache
     enable_compilation_cache()
     for b in [int(x) for x in args.batches.split(",")]:
-        ips = measure(b, args.iters)
-        print(json.dumps({"batch": b, "images_per_sec": round(ips, 2)}),
+        ips = measure(b, args.iters, net=args.net)
+        print(json.dumps({"net": args.net, "batch": b,
+                          "images_per_sec": round(ips, 2)}),
               flush=True)
 
 

@@ -46,8 +46,10 @@ def main():
     spec = spec_from_cfg(args.net, args.num_classes, 'TEST')
     model = FasterRCNN(spec)
     ch, cw = canvas_hw(cfg.TEST)
+    from tf_faster_rcnn_tpu.data.blob import batch_image_shape
     params = model.init(jax.random.PRNGKey(cfg.RNG_SEED),
-                        np.zeros((1, ch, cw, 3), np.float32),
+                        np.zeros(batch_image_shape(1, (ch, cw))[0],
+                                 np.float32),
                         np.array([[ch, cw, 1.0]], np.float32))
     params = load_pretrained_into(params, args.src, args.net)
     save_params(args.dst, params)

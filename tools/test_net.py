@@ -48,7 +48,8 @@ def parse_args():
 
 def load_model_params(model_path, model, spec, net, canvas):
     import jax
-    dummy = np.zeros((1, canvas[0], canvas[1], 3), np.float32)
+    from tf_faster_rcnn_tpu.data.blob import batch_image_shape
+    dummy = np.zeros(batch_image_shape(1, canvas)[0], np.float32)
     info = np.array([[canvas[0], canvas[1], 1.0]], np.float32)
     params = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), dummy, info))
