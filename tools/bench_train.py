@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--net", default="res101")
     ap.add_argument("--canvas", default="608,1024")
+    ap.add_argument("--s2d", type=int, default=1,
+                    help="host space-to-depth input (ResNet backbones)")
     args = ap.parse_args()
 
     from tf_faster_rcnn_tpu.utils.compilation_cache import \
@@ -35,6 +37,8 @@ def main():
     from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    if args.s2d and args.net.startswith("res"):
+        cfg.TPU.SPACE_TO_DEPTH = True
     h, w = (int(x) for x in args.canvas.split(","))
     b = args.batch
     spec = dataclasses.replace(
@@ -43,8 +47,12 @@ def main():
     model = FasterRCNN(spec)
 
     rng = np.random.RandomState(0)
+    image = rng.randn(b, h, w, 3).astype(np.float32) * 40.0
+    if cfg.TPU.SPACE_TO_DEPTH:
+        from tf_faster_rcnn_tpu.data.blob import space_to_depth
+        image = np.stack([space_to_depth(im) for im in image])
     batch = {
-        "image": rng.randn(b, h, w, 3).astype(np.float32) * 40.0,
+        "image": image,
         "im_info": np.tile(np.array([[600.0, 1000.0, 1.6]], np.float32),
                            (b, 1)),
         "gt_boxes": np.tile(np.array(
