@@ -289,3 +289,31 @@ def test_space_to_depth_full_model_equivalence(rng):
     np.testing.assert_allclose(np.asarray(out2["cls_prob"]),
                                np.asarray(out1["cls_prob"]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_space_to_depth_train_mode(rng):
+    """TRAIN mode on a host-s2d input: losses finite and active, gradients
+    flow, and the (always-frozen) stem produces zero conv1 gradients."""
+    from tf_faster_rcnn_tpu.data.blob import space_to_depth
+    img, im_info, gt, gtv = _inputs(rng)
+    img_s2d = np.stack([space_to_depth(im) for im in img])
+    spec = _small(spec_from_cfg("res50", 21, "TRAIN"), space_to_depth=True,
+                  rpn_post_nms_top_n=64, roi_batch_size=32, rpn_batchsize=64)
+    m = FasterRCNN(spec)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1)}
+    params = m.init(rngs, img_s2d, im_info, gt, gtv)
+
+    def loss_fn(p):
+        out = m.apply(p, img_s2d, im_info, gt, gtv,
+                      rngs={"sampling": jax.random.PRNGKey(3)})
+        return detection_losses(out, spec)["total_loss"]
+
+    total, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(total)) and float(total) > 0
+    g = grads["params"]
+    assert float(np.abs(np.asarray(g["head"]["conv1"]["kernel"])).max()) == 0
+    leaves = jax.tree_util.tree_leaves(g["rpn_conv"])
+    assert sum(float(jnp.sum(x * x)) for x in leaves) > 0
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(grads))
