@@ -131,13 +131,16 @@ def select_top_k_mask(mask, k):
     replacement for the reference's dynamic ``keep[:post_nms_topN]`` slicing.
     """
     n = mask.shape[0]
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # rank among kept
     count = jnp.sum(mask.astype(jnp.int32))
-    slot = jnp.where(mask & (rank < k), rank, k)  # overflow -> dump slot k
-    out = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
-        lax.broadcasted_iota(jnp.int32, (n,), 0), mode="drop")
+    # top_k on (mask, ascending index) keys — True entries surface first, in
+    # index order. Replaces a dynamic scatter, which TPU serializes.
+    iota = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    key = jnp.where(mask, n - iota, -iota - 1)
+    _, idx = lax.top_k(key, min(k, n))
+    if k > n:  # degenerate: more slots than candidates
+        idx = jnp.concatenate([idx, jnp.zeros((k - n,), idx.dtype)])
     valid = lax.broadcasted_iota(jnp.int32, (k,), 0) < jnp.minimum(count, k)
-    idx = jnp.where(valid, out[:k], 0)
+    idx = jnp.where(valid, idx, 0)
     return idx, valid
 
 
