@@ -127,3 +127,22 @@ def test_nan_guard_skips_nonfinite_steps():
     for a, b in zip(jax.tree_util.tree_leaves(bad_state.opt_state),
                     jax.tree_util.tree_leaves(s2.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_param_dtype_bf16_state():
+    """TPU.PARAM_DTYPE='bfloat16' casts params and momentum to bf16 and the
+    update still applies (the ROADMAP study documents the accuracy cost)."""
+    from tf_faster_rcnn_tpu.config import cfg
+    from tf_faster_rcnn_tpu.engine.train import create_train_state
+    cfg.TPU.PARAM_DTYPE = 'bfloat16'
+    spec = dataclasses.replace(spec_from_cfg("vgg16", 2, "TRAIN"))
+    params = {"params": {
+        "rpn_conv": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))}}}
+    state = create_train_state(spec, params, jax.random.PRNGKey(0))
+    assert state.params["params"]["rpn_conv"]["kernel"].dtype == jnp.bfloat16
+    trace = jax.tree_util.tree_leaves(state.opt_state)[0]
+    s1 = state.apply_gradients(_ones_like(state.params))
+    k1 = s1.params["params"]["rpn_conv"]["kernel"]
+    assert k1.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(k1, np.float32),
+                               1.0 - 0.001 * 1.0, rtol=1e-2)

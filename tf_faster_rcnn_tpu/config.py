@@ -167,11 +167,17 @@ def _default_cfg() -> AttrDict:
     # Use the Pallas NMS kernel when on TPU (fallback: pure-jnp block NMS).
     C.TPU.USE_PALLAS_NMS = True
     # Space-to-depth ResNet stem (exact transform; conv1 kernel becomes
-    # [4,4,12,64] and imports via s2d_conv1_kernel). Off by default: measured
-    # slightly SLOWER on v5e (16.7 vs 15.5 ms/batch for the res101 head at
-    # 8x608x1024) - XLA already handles the 3-channel stem well here; kept as
-    # an option for other generations/shapes.
+    # [4,4,12,64] and imports via s2d_conv1_kernel). The batch builders ship
+    # [B, H/2, W/2, 12] canvases transformed on the host image pool; the
+    # on-device relayout costs more than the fast stem saves, host-side it
+    # is a measured win (184 -> 190.6 img/s/chip detect on v5e). Off by
+    # default for input-layout compatibility; bench.py enables it.
     C.TPU.SPACE_TO_DEPTH = False
+    # Parameter/momentum dtype ('float32' or 'bfloat16'). bfloat16 halves
+    # the state memory but loses update bits below ~1/256 of the parameter
+    # magnitude (no loss scaling is applied); see ROADMAP's study before
+    # using for long schedules.
+    C.TPU.PARAM_DTYPE = 'float32'
     # Host-side minibatch prefetch depth (0 = synchronous, like the
     # reference; its USE_PREFETCH comment was never implemented).
     C.TPU.PREFETCH = 2

@@ -93,8 +93,19 @@ def make_optimizer(spec: ModelSpec, params, *, learning_rate: float,
 
 
 def create_train_state(spec: ModelSpec, params, key) -> TrainState:
-    """Build state from the global cfg's TRAIN options."""
+    """Build state from the global cfg's TRAIN options.
+
+    TPU.PARAM_DTYPE='bfloat16' casts params (and therefore the optimizer's
+    momentum trace) to bf16 — half the state HBM, but SGD updates smaller
+    than ~1/256 of a parameter's magnitude are rounded away; see the
+    ROADMAP study.
+    """
     from tf_faster_rcnn_tpu.config import cfg
+    pdtype = jnp.dtype(str(cfg.TPU.PARAM_DTYPE))
+    if pdtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(pdtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     tx = make_optimizer(
         spec, params,
         learning_rate=float(cfg.TRAIN.LEARNING_RATE),
