@@ -19,7 +19,7 @@ import numpy as np
 
 
 def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
-            net="res101"):
+            net="res101", s2d=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -28,6 +28,8 @@ def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
     from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    if s2d and net.startswith("res"):
+        cfg.TPU.SPACE_TO_DEPTH = True
     spec = dataclasses.replace(
         spec_from_cfg(net, 21, "TEST"),
         rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
@@ -36,6 +38,9 @@ def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
     h, w = canvas
     rng = np.random.RandomState(0)
     image = rng.randn(batch, h, w, 3).astype(np.float32) * 40.0
+    if cfg.TPU.SPACE_TO_DEPTH:
+        from tf_faster_rcnn_tpu.data.blob import space_to_depth
+        image = np.stack([space_to_depth(im) for im in image])
     im_info = np.tile(np.array([[600.0, 1000.0, 1.6]], np.float32),
                       (batch, 1))
     orig_hw = np.tile(np.array([[375.0, 625.0]], np.float32), (batch, 1))
@@ -76,13 +81,15 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--net", default="res101",
                     choices=("vgg16", "res50", "res101", "res152", "mobile"))
+    ap.add_argument("--s2d", type=int, default=0,
+                    help="host space-to-depth input (ResNet backbones)")
     args = ap.parse_args()
     from tf_faster_rcnn_tpu.utils.compilation_cache import \
         enable_compilation_cache
     enable_compilation_cache()
     for b in [int(x) for x in args.batches.split(",")]:
-        ips = measure(b, args.iters, net=args.net)
-        print(json.dumps({"net": args.net, "batch": b,
+        ips = measure(b, args.iters, net=args.net, s2d=bool(args.s2d))
+        print(json.dumps({"net": args.net, "batch": b, "s2d": bool(args.s2d),
                           "images_per_sec": round(ips, 2)}),
               flush=True)
 
