@@ -140,9 +140,15 @@ def test_param_dtype_bf16_state():
         "rpn_conv": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))}}}
     state = create_train_state(spec, params, jax.random.PRNGKey(0))
     assert state.params["params"]["rpn_conv"]["kernel"].dtype == jnp.bfloat16
-    trace = jax.tree_util.tree_leaves(state.opt_state)[0]
+    def _float_leaves(tree):
+        return [l for l in jax.tree_util.tree_leaves(tree)
+                if jnp.issubdtype(l.dtype, jnp.floating)]
+
+    assert all(l.dtype == jnp.bfloat16 for l in _float_leaves(state.opt_state))
     s1 = state.apply_gradients(_ones_like(state.params))
     k1 = s1.params["params"]["rpn_conv"]["kernel"]
     assert k1.dtype == jnp.bfloat16
+    # the momentum trace stays bf16 after an update (half the state HBM)
+    assert all(l.dtype == jnp.bfloat16 for l in _float_leaves(s1.opt_state))
     np.testing.assert_allclose(np.asarray(k1, np.float32),
                                1.0 - 0.001 * 1.0, rtol=1e-2)

@@ -67,20 +67,22 @@ def prep_im_for_blob(im, pixel_means, target_size, max_size):
     return im, im_scale
 
 
-def im_to_canvas(im, canvas_hw: Tuple[int, int]):
-    """Zero-pad a prepared image into the static canvas (top-left anchored).
+def place_on_canvas(dest, im, s2d: bool):
+    """Write a prepared [h, w, 3] image into one canvas slot, top-left
+    anchored, applying the host space-to-depth transform when the batch
+    ships in the s2d layout (see batch_image_shape). Returns (h, w), the
+    true extent in IMAGE coordinates (im_info units, pre-s2d).
 
-    Returns (canvas [H, W, 3] float32, (h, w) true extent). Images larger
-    than the canvas are an error — callers derive the canvas from
-    SCALES/MAX_SIZE so this can't happen with consistent config.
+    Images larger than the canvas are an error — callers derive the canvas
+    from SCALES/MAX_SIZE so this can't happen with consistent config.
     """
-    ch, cw = canvas_hw
     h, w = im.shape[0], im.shape[1]
-    assert h <= ch and w <= cw, (
-        f"image {h}x{w} exceeds canvas {ch}x{cw}")
-    canvas = np.zeros((ch, cw, 3), dtype=np.float32)
-    canvas[:h, :w, :] = im
-    return canvas, (h, w)
+    ch, cw = (dest.shape[0] * 2, dest.shape[1] * 2) if s2d else dest.shape[:2]
+    assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
+    if s2d:
+        im = space_to_depth(im)
+    dest[:im.shape[0], :im.shape[1]] = im
+    return h, w
 
 
 def space_to_depth(im):

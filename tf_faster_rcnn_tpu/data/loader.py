@@ -24,8 +24,8 @@ import numpy as np
 
 from tf_faster_rcnn_tpu.config import cfg
 from tf_faster_rcnn_tpu.data.blob import (batch_image_shape, image_pool,
-                                          prep_im_for_blob, read_image_bgr,
-                                          space_to_depth, transfer_dtype)
+                                          place_on_canvas, prep_im_for_blob,
+                                          read_image_bgr, transfer_dtype)
 
 __all__ = ["RoIDataLayer", "get_minibatch"]
 
@@ -50,7 +50,6 @@ def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
     """
     rng = rng or np.random
     b = len(roidb_entries)
-    ch, cw = canvas_hw
     img_shape, s2d = batch_image_shape(b, canvas_hw)
     images = np.zeros(img_shape, transfer_dtype())
     im_info = np.zeros((b, 3), np.float32)
@@ -71,13 +70,7 @@ def get_minibatch(roidb_entries, canvas_hw: Tuple[int, int], max_gt: int,
             im = im[:, ::-1, :]
         im, scale = prep_im_for_blob(im, cfg.PIXEL_MEANS, target_sizes[i],
                                      cfg.TRAIN.MAX_SIZE)
-        h, w = im.shape[0], im.shape[1]
-        assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
-        if s2d:
-            im = space_to_depth(im)
-            images[i, :im.shape[0], :im.shape[1]] = im
-        else:
-            images[i, :h, :w] = im
+        h, w = place_on_canvas(images[i], im, s2d)
         im_info[i] = (h, w, scale)
         return scale
 

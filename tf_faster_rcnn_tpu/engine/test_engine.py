@@ -20,8 +20,8 @@ import numpy as np
 
 from tf_faster_rcnn_tpu.config import canvas_hw, cfg
 from tf_faster_rcnn_tpu.data.blob import (batch_image_shape, image_pool,
-                                          prep_im_for_blob, read_image_bgr,
-                                          space_to_depth, transfer_dtype)
+                                          place_on_canvas, prep_im_for_blob,
+                                          read_image_bgr, transfer_dtype)
 from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
 from tf_faster_rcnn_tpu.utils.native import nms_cpu
 from tf_faster_rcnn_tpu.utils.timer import Timer
@@ -54,7 +54,6 @@ def make_detect_fn(model, spec, max_per_image: Optional[int] = None,
 
 def _prep_batch(paths, canvas):
     b = len(paths)
-    ch, cw = canvas
     img_shape, s2d = batch_image_shape(b, canvas)
     images = np.zeros(img_shape, transfer_dtype())
     im_info = np.zeros((b, 3), np.float32)
@@ -65,13 +64,7 @@ def _prep_batch(paths, canvas):
         orig_hw[i] = (im.shape[0], im.shape[1])
         prepped, scale = prep_im_for_blob(
             im, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
-        h, w = prepped.shape[0], prepped.shape[1]
-        assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
-        if s2d:
-            prepped = space_to_depth(prepped)
-            images[i, :prepped.shape[0], :prepped.shape[1]] = prepped
-        else:
-            images[i, :h, :w] = prepped
+        h, w = place_on_canvas(images[i], prepped, s2d)
         im_info[i] = (h, w, scale)
 
     list(image_pool().map(_load, range(b), paths))
@@ -81,19 +74,12 @@ def _prep_batch(paths, canvas):
 def im_detect(detect_fn, params, im, canvas=None):
     """Single-image detection (demo-style). Returns (dets [N,6], valid)."""
     canvas = canvas or canvas_hw(cfg.TEST)
-    ch, cw = canvas
     img_shape, s2d = batch_image_shape(1, canvas)
     orig_hw = np.array([[im.shape[0], im.shape[1]]], np.float32)
     prepped, scale = prep_im_for_blob(
         im.copy(), cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
-    h, w = prepped.shape[0], prepped.shape[1]
-    assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
     c = np.zeros(img_shape[1:], transfer_dtype())
-    if s2d:
-        prepped = space_to_depth(prepped)
-        c[:prepped.shape[0], :prepped.shape[1]] = prepped
-    else:
-        c[:h, :w] = prepped
+    h, w = place_on_canvas(c, prepped, s2d)
     det, dv = detect_fn(params, c[None], np.array([[h, w, scale]], np.float32),
                         orig_hw)
     det, dv = np.asarray(det[0]), np.asarray(dv[0])

@@ -71,9 +71,16 @@ def _take_rows(table, idx):
     gather from the [G,5] gt table at 8x21888 anchors); a [N,G]x[G,C]
     one-hot contraction is exact (each row sums one element) and rides the
     MXU/VPU. Only sensible when G is small (G = padded gt count here).
+
+    Precision.HIGHEST is required for the exactness claim ON TPU: the
+    default matmul precision multiplies in bf16, which would round the
+    gathered coordinates (up to ~2px above 512px); with full precision a
+    1.0 x value one-hot contraction is bit-exact. The matmul is tiny, so
+    the cost is nil.
     """
     onehot = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
-    return onehot @ table.astype(jnp.float32)
+    return jnp.matmul(onehot, table.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def anchor_target(anchors, gt_boxes, gt_valid, im_hw, rng, *,

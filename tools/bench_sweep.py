@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--s2d", type=int, default=0,
                     help="host space-to-depth input (ResNet backbones)")
     args = ap.parse_args()
+    if args.s2d and not args.net.startswith("res"):
+        ap.error("--s2d is only supported for ResNet backbones")
     from tf_faster_rcnn_tpu.utils.compilation_cache import \
         enable_compilation_cache
     enable_compilation_cache()
