@@ -19,20 +19,26 @@ import numpy as np
 
 
 def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
-            net="res101", s2d=False):
+            net="res101", s2d=False, cfg_file=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from tf_faster_rcnn_tpu.config import cfg
+    from tf_faster_rcnn_tpu.config import canvas_hw, cfg, cfg_from_file
     from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
     from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if s2d and net.startswith("res"):
         cfg.TPU.SPACE_TO_DEPTH = True
-    spec = dataclasses.replace(
-        spec_from_cfg(net, 21, "TEST"),
-        rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
+    if cfg_file:
+        # measure the config's own TEST proposal counts and canvas
+        cfg_from_file(cfg_file)
+        spec = spec_from_cfg(net, 21, "TEST")
+        canvas = canvas_hw(cfg.TEST)
+    else:
+        spec = dataclasses.replace(
+            spec_from_cfg(net, 21, "TEST"),
+            rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
     model = FasterRCNN(spec)
 
     h, w = canvas
@@ -41,9 +47,11 @@ def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
     if cfg.TPU.SPACE_TO_DEPTH:
         from tf_faster_rcnn_tpu.data.blob import space_to_depth
         image = np.stack([space_to_depth(im) for im in image])
-    im_info = np.tile(np.array([[600.0, 1000.0, 1.6]], np.float32),
+    # true extent just inside the padded canvas, scale ~1.6 (bench workload)
+    ih, iw = float(h * 600 // 608), float(w * 1000 // 1024)
+    im_info = np.tile(np.array([[ih, iw, 1.6]], np.float32), (batch, 1))
+    orig_hw = np.tile(np.array([[ih / 1.6, iw / 1.6]], np.float32),
                       (batch, 1))
-    orig_hw = np.tile(np.array([[375.0, 625.0]], np.float32), (batch, 1))
     params = model.init(jax.random.PRNGKey(0), image[:1], im_info[:1])
 
     def detect(params, image, im_info, orig_hw):
@@ -83,6 +91,8 @@ def main():
                     choices=("vgg16", "res50", "res101", "res152", "mobile"))
     ap.add_argument("--s2d", type=int, default=0,
                     help="host space-to-depth input (ResNet backbones)")
+    ap.add_argument("--cfg", default=None,
+                    help="yml config; uses its TEST canvas/proposal counts")
     args = ap.parse_args()
     if args.s2d and not args.net.startswith("res"):
         ap.error("--s2d is only supported for ResNet backbones")
@@ -90,9 +100,10 @@ def main():
         enable_compilation_cache
     enable_compilation_cache()
     for b in [int(x) for x in args.batches.split(",")]:
-        ips = measure(b, args.iters, net=args.net, s2d=bool(args.s2d))
+        ips = measure(b, args.iters, net=args.net, s2d=bool(args.s2d),
+                      cfg_file=args.cfg)
         print(json.dumps({"net": args.net, "batch": b, "s2d": bool(args.s2d),
-                          "images_per_sec": round(ips, 2)}),
+                          "cfg": args.cfg, "images_per_sec": round(ips, 2)}),
               flush=True)
 
 

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--canvas", default="608,1024")
     ap.add_argument("--s2d", type=int, default=1,
                     help="host space-to-depth input (ResNet backbones)")
+    ap.add_argument("--cfg", default=None,
+                    help="yml config; uses its TRAIN canvas/anchors/counts")
     args = ap.parse_args()
 
     from tf_faster_rcnn_tpu.utils.compilation_cache import \
@@ -39,11 +41,19 @@ def main():
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if args.s2d and args.net.startswith("res"):
         cfg.TPU.SPACE_TO_DEPTH = True
-    h, w = (int(x) for x in args.canvas.split(","))
     b = args.batch
-    spec = dataclasses.replace(
-        spec_from_cfg(args.net, 21, "TRAIN"),
-        rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=2000)
+    if args.cfg:
+        # measure the config's own TRAIN canvas/anchors/proposal counts
+        from tf_faster_rcnn_tpu.config import canvas_hw, cfg_from_file
+        cfg_from_file(args.cfg)
+        spec = dataclasses.replace(
+            spec_from_cfg(args.net, 21, "TRAIN"), rpn_pre_nms_top_n=6000)
+        h, w = canvas_hw(cfg.TRAIN)
+    else:
+        h, w = (int(x) for x in args.canvas.split(","))
+        spec = dataclasses.replace(
+            spec_from_cfg(args.net, 21, "TRAIN"),
+            rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=2000)
     model = FasterRCNN(spec)
 
     rng = np.random.RandomState(0)
@@ -51,10 +61,10 @@ def main():
     if cfg.TPU.SPACE_TO_DEPTH:
         from tf_faster_rcnn_tpu.data.blob import space_to_depth
         image = np.stack([space_to_depth(im) for im in image])
+    ih, iw = float(h * 600 // 608), float(w * 1000 // 1024)
     batch = {
         "image": image,
-        "im_info": np.tile(np.array([[600.0, 1000.0, 1.6]], np.float32),
-                           (b, 1)),
+        "im_info": np.tile(np.array([[ih, iw, 1.6]], np.float32), (b, 1)),
         "gt_boxes": np.tile(np.array(
             [[[40, 60, 300, 400, 7], [200, 100, 500, 330, 12]]], np.float32),
             (b, 1, 1)),
