@@ -88,6 +88,15 @@ def test_select_top_k_mask():
     idx, valid = select_top_k_mask(mask, 8)
     assert np.asarray(idx)[:5].tolist() == [1, 2, 4, 6, 7]
     assert np.asarray(valid).tolist() == [True] * 5 + [False] * 3
+    # k > n (more output slots than candidates): pad slots invalid, idx 0
+    idx, valid = select_top_k_mask(mask, 11)
+    assert np.asarray(idx)[:5].tolist() == [1, 2, 4, 6, 7]
+    assert np.asarray(valid).tolist() == [True] * 5 + [False] * 6
+    assert np.asarray(idx)[5:].tolist() == [0] * 6
+    # all-False mask
+    idx, valid = select_top_k_mask(np.zeros(8, bool), 3)
+    assert not np.asarray(valid).any()
+    assert np.asarray(idx).tolist() == [0, 0, 0]
 
 
 def test_sorted_nms_fixed_output(rng):
