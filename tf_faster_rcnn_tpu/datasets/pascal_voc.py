@@ -65,19 +65,18 @@ class pascal_voc(imdb):
         return self.image_path_from_index(self._image_index[i])
 
     def image_path_from_index(self, index):
-        image_path = os.path.join(self._data_path, 'JPEGImages',
-                                  index + self._image_ext)
-        assert os.path.exists(image_path), \
-            'Path does not exist: {}'.format(image_path)
-        return image_path
+        path = os.path.join(
+            self._data_path, 'JPEGImages', index + self._image_ext)
+        assert os.path.exists(path), 'Path does not exist: {}'.format(path)
+        return path
 
     def _load_image_set_index(self):
-        image_set_file = os.path.join(self._data_path, 'ImageSets', 'Main',
-                                      self._image_set + '.txt')
-        assert os.path.exists(image_set_file), \
-            'Path does not exist: {}'.format(image_set_file)
-        with open(image_set_file) as f:
-            return [x.strip() for x in f.readlines()]
+        listing = os.path.join(
+            self._data_path, 'ImageSets', 'Main', self._image_set + '.txt')
+        assert os.path.exists(listing), \
+            'Path does not exist: {}'.format(listing)
+        with open(listing) as f:
+            return [line.strip() for line in f]
 
     def _get_default_path(self):
         return os.path.join(cfg.DATA_DIR, 'VOCdevkit' + self._year)
