@@ -1,82 +1,123 @@
-"""Image-database abstraction.
+"""Image-database (imdb) base class.
 
-API parity with the reference imdb base (/root/reference/lib/datasets/
-imdb.py:20-260): a named dataset with a class list, an image index, a lazily
-built roidb (list of per-image dicts with boxes / gt_classes / gt_overlaps /
-flipped), horizontal-flip augmentation, proposal-recall evaluation, external
-proposal merging, and the competition_mode hook. The dense-IoU calls go
-through the native C++ op instead of the Cython extension.
+API parity with the reference imdb abstraction (reference
+lib/datasets/imdb.py:20-260): a named dataset exposing a class list, an
+image index, a lazily built roidb, horizontal-flip augmentation, proposal
+recall evaluation with COCO-style area buckets, external-proposal roidb
+construction/merging, and the competition_mode hook. The implementation is
+this framework's own: typed annotations (datasets/annotations.py) build the
+records, the dense IoU goes through the native C++ op, and the greedy
+recall matching runs on the full overlap matrix.
 """
 
 from __future__ import annotations
 
-import os
-import os.path as osp
+from pathlib import Path
 
 import numpy as np
 import scipy.sparse
 from PIL import Image
 
 from tf_faster_rcnn_tpu.config import cfg
+from tf_faster_rcnn_tpu.datasets.annotations import flipped_entry
 from tf_faster_rcnn_tpu.utils.native import bbox_overlaps_cpu
 
+# COCO-style proposal-recall area buckets: name -> (lo, hi) in px^2,
+# inclusive on both ends (reference imdb.py:136-145).
+AREA_BUCKETS = {
+    'all': (0.0, 1e10),
+    'small': (0.0, 32.0 ** 2),
+    'medium': (32.0 ** 2, 96.0 ** 2),
+    'large': (96.0 ** 2, 1e10),
+    '96-128': (96.0 ** 2, 128.0 ** 2),
+    '128-256': (128.0 ** 2, 256.0 ** 2),
+    '256-512': (256.0 ** 2, 512.0 ** 2),
+    '512-inf': (512.0 ** 2, 1e10),
+}
 
-class imdb(object):
-    """Image database."""
+
+def _greedy_match_scores(iou: np.ndarray) -> np.ndarray:
+    """Greedy one-to-one proposal<->gt matching.
+
+    Repeatedly claims the globally best (proposal, gt) pair and retires both,
+    returning the matched IoU per gt (0 for gts left unmatched). Ties break
+    like the reference's column-max-then-argmax scan (imdb.py:180-196):
+    lowest gt index first, then lowest proposal index.
+    """
+    iou = iou.astype(np.float64, copy=True)
+    num_props, num_gt = iou.shape
+    matched = np.zeros(num_gt)
+    for _ in range(min(num_gt, num_props)):
+        # argmax over the gt-major flattening == first gt column holding the
+        # global max, then the first proposal row within that column
+        flat = int(np.argmax(iou.T))
+        gt_idx, prop_idx = divmod(flat, num_props)
+        matched[gt_idx] = iou[prop_idx, gt_idx]
+        iou[prop_idx, :] = -1.0
+        iou[:, gt_idx] = -1.0
+    return matched
+
+
+class imdb:
+    """Named dataset: class list + image index + lazily built roidb."""
 
     def __init__(self, name, classes=None):
         self._name = name
-        self._num_classes = 0
-        self._classes = classes or []
+        self._classes = list(classes) if classes else []
         self._image_index = []
-        self._obj_proposer = 'gt'
         self._roidb = None
         self._roidb_handler = self.default_roidb
+        self._obj_proposer = 'gt'
         self.config = {}
+
+    # -- identity --------------------------------------------------------
 
     @property
     def name(self):
         return self._name
 
     @property
-    def num_classes(self):
-        return len(self._classes)
-
-    @property
     def classes(self):
         return self._classes
+
+    @property
+    def num_classes(self):
+        return len(self._classes)
 
     @property
     def image_index(self):
         return self._image_index
 
     @property
+    def num_images(self):
+        return len(self._image_index)
+
+    # -- roidb plumbing --------------------------------------------------
+
+    @property
     def roidb_handler(self):
         return self._roidb_handler
 
     @roidb_handler.setter
-    def roidb_handler(self, val):
-        self._roidb_handler = val
+    def roidb_handler(self, fn):
+        self._roidb_handler = fn
 
     def set_proposal_method(self, method):
-        self.roidb_handler = getattr(self, method + '_roidb')
+        self.roidb_handler = getattr(self, f'{method}_roidb')
 
     @property
     def roidb(self):
-        if self._roidb is not None:
-            return self._roidb
-        self._roidb = self.roidb_handler()
+        if self._roidb is None:
+            self._roidb = self.roidb_handler()
         return self._roidb
 
     @property
     def cache_path(self):
-        cache_path = osp.abspath(osp.join(cfg.DATA_DIR, 'cache'))
-        os.makedirs(cache_path, exist_ok=True)
-        return cache_path
+        path = Path(cfg.DATA_DIR).resolve() / 'cache'
+        path.mkdir(parents=True, exist_ok=True)
+        return str(path)
 
-    @property
-    def num_images(self):
-        return len(self.image_index)
+    # -- subclass surface ------------------------------------------------
 
     def image_path_at(self, i):
         raise NotImplementedError
@@ -85,131 +126,124 @@ class imdb(object):
         raise NotImplementedError
 
     def evaluate_detections(self, all_boxes, output_dir=None):
-        """all_boxes[class][image] = [] or np.array [#dets, 5]."""
+        """all_boxes[class][image] is [] or a float array [#dets, 5] of
+        (x1, y1, x2, y2, score)."""
         raise NotImplementedError
+
+    def competition_mode(self, on):
+        pass
+
+    # -- augmentation ----------------------------------------------------
 
     def _get_widths(self):
         return [Image.open(self.image_path_at(i)).size[0]
                 for i in range(self.num_images)]
 
     def append_flipped_images(self):
-        num_images = self.num_images
+        """Double the roidb with horizontally mirrored views; the image
+        index doubles in lockstep (loader reads `flipped` to mirror pixels
+        at batch time)."""
         widths = self._get_widths()
-        for i in range(num_images):
-            boxes = self.roidb[i]['boxes'].copy()
-            oldx1 = boxes[:, 0].copy()
-            oldx2 = boxes[:, 2].copy()
-            boxes[:, 0] = widths[i] - oldx2 - 1
-            boxes[:, 2] = widths[i] - oldx1 - 1
-            assert (boxes[:, 2] >= boxes[:, 0]).all()
-            entry = {'boxes': boxes,
-                     'gt_overlaps': self.roidb[i]['gt_overlaps'],
-                     'gt_classes': self.roidb[i]['gt_classes'],
-                     'flipped': True}
-            self.roidb.append(entry)
+        base = list(self.roidb)
+        for entry, width in zip(base, widths):
+            self.roidb.append(flipped_entry(entry, width))
         self._image_index = self._image_index * 2
+
+    # -- proposal recall -------------------------------------------------
 
     def evaluate_recall(self, candidate_boxes=None, thresholds=None,
                         area='all', limit=None):
-        """Proposal recall over IoU thresholds with COCO-style area buckets
-        (reference imdb.py:126-214)."""
-        areas = {'all': 0, 'small': 1, 'medium': 2, 'large': 3,
-                 '96-128': 4, '128-256': 5, '256-512': 6, '512-inf': 7}
-        area_ranges = [[0 ** 2, 1e5 ** 2], [0 ** 2, 32 ** 2],
-                       [32 ** 2, 96 ** 2], [96 ** 2, 1e5 ** 2],
-                       [96 ** 2, 128 ** 2], [128 ** 2, 256 ** 2],
-                       [256 ** 2, 512 ** 2], [512 ** 2, 1e5 ** 2]]
-        assert area in areas, 'unknown area range: {}'.format(area)
-        area_range = area_ranges[areas[area]]
-        gt_overlaps = np.zeros(0)
-        num_pos = 0
-        for i in range(self.num_images):
-            # max_overlaps == 1 excludes crowd annotations
-            max_gt_overlaps = self.roidb[i]['gt_overlaps'].toarray().max(axis=1)
-            gt_inds = np.where((self.roidb[i]['gt_classes'] > 0)
-                               & (max_gt_overlaps == 1))[0]
-            gt_boxes = self.roidb[i]['boxes'][gt_inds, :]
-            gt_areas = self.roidb[i]['seg_areas'][gt_inds]
-            valid_gt_inds = np.where((gt_areas >= area_range[0])
-                                     & (gt_areas <= area_range[1]))[0]
-            gt_boxes = gt_boxes[valid_gt_inds, :]
-            num_pos += len(valid_gt_inds)
+        """Average recall of proposals against gt over IoU thresholds
+        0.5:0.05:0.95, restricted to one area bucket (reference
+        imdb.py:126-214). With candidate_boxes=None, the roidb's own
+        non-gt (class 0) boxes act as the proposals."""
+        if area not in AREA_BUCKETS:
+            raise KeyError(f'unknown area bucket {area!r}; '
+                           f'have {sorted(AREA_BUCKETS)}')
+        lo, hi = AREA_BUCKETS[area]
+
+        matched_all = []
+        total_gt = 0
+        for i, entry in enumerate(self.roidb):
+            # gt = positive-class, non-crowd (crowd rows have overlap -1,
+            # so their row max is < 1)
+            affinity = entry['gt_overlaps'].toarray()
+            is_gt = (entry['gt_classes'] > 0) & (affinity.max(axis=1) == 1)
+            in_bucket = ((entry['seg_areas'] >= lo)
+                         & (entry['seg_areas'] <= hi))
+            gt_boxes = entry['boxes'][is_gt & in_bucket]
+            total_gt += len(gt_boxes)
 
             if candidate_boxes is None:
-                non_gt_inds = np.where(self.roidb[i]['gt_classes'] == 0)[0]
-                boxes = self.roidb[i]['boxes'][non_gt_inds, :]
+                props = entry['boxes'][entry['gt_classes'] == 0]
             else:
-                boxes = candidate_boxes[i]
-            if boxes.shape[0] == 0:
+                props = candidate_boxes[i]
+            if limit is not None:
+                props = props[:limit]
+            if len(props) == 0:
                 continue
-            if limit is not None and boxes.shape[0] > limit:
-                boxes = boxes[:limit, :]
 
-            overlaps = bbox_overlaps_cpu(boxes.astype(np.float32),
-                                         gt_boxes.astype(np.float32))
-            _gt_overlaps = np.zeros((gt_boxes.shape[0]))
-            for j in range(gt_boxes.shape[0]):
-                # greedy one-to-one matching, best-covered gt first
-                argmax_overlaps = overlaps.argmax(axis=0)
-                max_overlaps = overlaps.max(axis=0)
-                gt_ind = max_overlaps.argmax()
-                gt_ovr = max_overlaps.max()
-                assert gt_ovr >= 0
-                box_ind = argmax_overlaps[gt_ind]
-                _gt_overlaps[j] = overlaps[box_ind, gt_ind]
-                assert _gt_overlaps[j] == gt_ovr
-                overlaps[box_ind, :] = -1
-                overlaps[:, gt_ind] = -1
-            gt_overlaps = np.hstack((gt_overlaps, _gt_overlaps))
+            iou = bbox_overlaps_cpu(np.ascontiguousarray(props, np.float32),
+                                    np.ascontiguousarray(gt_boxes,
+                                                         np.float32))
+            matched_all.append(_greedy_match_scores(iou))
 
-        gt_overlaps = np.sort(gt_overlaps)
+        matched = (np.concatenate(matched_all) if matched_all
+                   else np.zeros(0))
+        matched.sort()
         if thresholds is None:
             thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
-        recalls = np.zeros_like(thresholds)
-        for i, t in enumerate(thresholds):
-            recalls[i] = (gt_overlaps >= t).sum() / float(num_pos)
+        thresholds = np.asarray(thresholds)
+        recalls = np.array([(matched >= t).sum() / float(total_gt)
+                            for t in thresholds])
         return {'ar': recalls.mean(), 'recalls': recalls,
-                'thresholds': thresholds, 'gt_overlaps': gt_overlaps}
+                'thresholds': thresholds, 'gt_overlaps': matched}
+
+    # -- external proposals ----------------------------------------------
+
+    def _proposal_entry(self, boxes, gt_entry):
+        """Roidb record for external proposal boxes: class-affinity is the
+        best IoU against the gt of the matching class, labels are all
+        background (reference imdb.py:216-245)."""
+        n = len(boxes)
+        affinity = np.zeros((n, self.num_classes), dtype=np.float32)
+        if gt_entry is not None and gt_entry['boxes'].size:
+            iou = bbox_overlaps_cpu(
+                np.ascontiguousarray(boxes, np.float32),
+                np.ascontiguousarray(gt_entry['boxes'], np.float32))
+            best = iou.max(axis=1)
+            best_gt = iou.argmax(axis=1)
+            hit = best > 0
+            affinity[hit, gt_entry['gt_classes'][best_gt[hit]]] = best[hit]
+        return {
+            'boxes': boxes,
+            'gt_classes': np.zeros((n,), dtype=np.int32),
+            'gt_overlaps': scipy.sparse.csr_matrix(affinity),
+            'seg_areas': np.zeros((n,), dtype=np.float32),
+            'flipped': False,
+        }
 
     def create_roidb_from_box_list(self, box_list, gt_roidb):
-        assert len(box_list) == self.num_images, \
-            'Number of boxes must match number of ground-truth images'
-        roidb = []
-        for i in range(self.num_images):
-            boxes = box_list[i]
-            num_boxes = boxes.shape[0]
-            overlaps = np.zeros((num_boxes, self.num_classes), np.float32)
-            if gt_roidb is not None and gt_roidb[i]['boxes'].size > 0:
-                gt_boxes = gt_roidb[i]['boxes']
-                gt_classes = gt_roidb[i]['gt_classes']
-                gt_overlaps = bbox_overlaps_cpu(boxes.astype(np.float32),
-                                                gt_boxes.astype(np.float32))
-                argmaxes = gt_overlaps.argmax(axis=1)
-                maxes = gt_overlaps.max(axis=1)
-                pos = np.where(maxes > 0)[0]
-                overlaps[pos, gt_classes[argmaxes[pos]]] = maxes[pos]
-            roidb.append({
-                'boxes': boxes,
-                'gt_classes': np.zeros((num_boxes,), np.int32),
-                'gt_overlaps': scipy.sparse.csr_matrix(overlaps),
-                'flipped': False,
-                'seg_areas': np.zeros((num_boxes,), np.float32),
-            })
-        return roidb
+        if len(box_list) != self.num_images:
+            raise ValueError('need one box array per image: '
+                             f'{len(box_list)} != {self.num_images}')
+        gts = gt_roidb if gt_roidb is not None else [None] * len(box_list)
+        return [self._proposal_entry(boxes, gt)
+                for boxes, gt in zip(box_list, gts)]
 
     @staticmethod
     def merge_roidbs(a, b):
-        assert len(a) == len(b)
-        for i in range(len(a)):
-            a[i]['boxes'] = np.vstack((a[i]['boxes'], b[i]['boxes']))
-            a[i]['gt_classes'] = np.hstack((a[i]['gt_classes'],
-                                            b[i]['gt_classes']))
-            a[i]['gt_overlaps'] = scipy.sparse.vstack(
-                [a[i]['gt_overlaps'], b[i]['gt_overlaps']])
-            a[i]['seg_areas'] = np.hstack((a[i]['seg_areas'],
-                                           b[i]['seg_areas']))
+        """Concatenate per-image records of two parallel roidbs (gt +
+        proposals)."""
+        if len(a) != len(b):
+            raise ValueError('roidb length mismatch')
+        joiners = {
+            'boxes': np.vstack,
+            'gt_classes': np.hstack,
+            'seg_areas': np.hstack,
+            'gt_overlaps': scipy.sparse.vstack,
+        }
+        for ea, eb in zip(a, b):
+            for key, join in joiners.items():
+                ea[key] = join((ea[key], eb[key]))
         return a
-
-    def competition_mode(self, on):
-        """Turn competition mode on or off."""
-        pass

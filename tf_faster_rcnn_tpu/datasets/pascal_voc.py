@@ -1,29 +1,32 @@
 """PASCAL VOC dataset.
 
-Behavior parity with the reference (/root/reference/lib/datasets/
-pascal_voc.py:26-299): 21-class list, VOCdevkit directory layout, XML
-annotation loading with difficult filtering and 0-based pixel coords,
-pickle-cached gt roidb, salted comp4 results files in the devkit layout,
-python voc_eval per class + mAP, and competition_mode toggling salt/cleanup.
-The optional MATLAB eval subprocess is supported when a MATLAB binary is
-configured (cfg.MATLAB); the reference itself notes the python eval is very
-close (pascal_voc.py:260-262).
+Covers what the reference VOC binding covers (reference
+lib/datasets/pascal_voc.py:26-299): the 20 VOC classes + background, the
+VOCdevkit directory protocol, XML annotations parsed to 0-based pixel
+coordinates with difficult-object filtering, a pickle-cached gt roidb,
+salted comp4 results files written in the devkit layout, per-class python
+evaluation + mAP, the optional MATLAB devkit evaluation, and
+competition_mode. Structured our way: a pathlib layout object owns every
+devkit path, annotations parse into typed records (datasets/annotations.py),
+and eval results come back as a class->AP mapping.
 """
 
 from __future__ import annotations
 
-import os
 import pickle
 import subprocess
 import uuid
-import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from pathlib import Path
 
 import numpy as np
-import scipy.sparse
 
 from tf_faster_rcnn_tpu.config import cfg
+from tf_faster_rcnn_tpu.datasets.annotations import (BoxAnnotation,
+                                                     build_roidb_entry,
+                                                     cached_build)
 from tf_faster_rcnn_tpu.datasets.imdb import imdb
-from tf_faster_rcnn_tpu.datasets.voc_eval import voc_eval
+from tf_faster_rcnn_tpu.datasets.voc_eval import _read_voc_xml, voc_eval
 
 VOC_CLASSES = ('__background__',
                'aeroplane', 'bicycle', 'bird', 'boat',
@@ -33,216 +36,196 @@ VOC_CLASSES = ('__background__',
                'sheep', 'sofa', 'train', 'tvmonitor')
 
 
+@dataclass(frozen=True)
+class VocLayout:
+    """Path protocol of a VOCdevkit tree."""
+
+    devkit: Path
+    year: str
+
+    @property
+    def data(self) -> Path:
+        return self.devkit / f'VOC{self.year}'
+
+    def image(self, image_id: str) -> Path:
+        return self.data / 'JPEGImages' / f'{image_id}.jpg'
+
+    def annotation(self, image_id: str) -> Path:
+        return self.data / 'Annotations' / f'{image_id}.xml'
+
+    def split_file(self, split: str) -> Path:
+        return self.data / 'ImageSets' / 'Main' / f'{split}.txt'
+
+    def results_file(self, comp_id: str, split: str, classname: str) -> Path:
+        # e.g. results/VOC2007/Main/comp4_det_test_aeroplane.txt
+        folder = self.devkit / 'results' / f'VOC{self.year}' / 'Main'
+        folder.mkdir(parents=True, exist_ok=True)
+        return folder / f'{comp_id}_det_{split}_{classname}.txt'
+
+    @property
+    def eval_cache(self) -> Path:
+        return self.devkit / 'annotations_cache'
+
+
 class pascal_voc(imdb):
     def __init__(self, image_set, year, use_diff=False):
-        name = 'voc_' + year + '_' + image_set
-        if use_diff:
-            name += '_diff'
-        imdb.__init__(self, name, classes=list(VOC_CLASSES))
+        suffix = '_diff' if use_diff else ''
+        super().__init__(f'voc_{year}_{image_set}{suffix}',
+                         classes=list(VOC_CLASSES))
         self._year = year
         self._image_set = image_set
-        self._devkit_path = self._get_default_path()
-        self._data_path = os.path.join(self._devkit_path, 'VOC' + self._year)
-        self._class_to_ind = dict(zip(self.classes, range(self.num_classes)))
-        self._image_ext = '.jpg'
-        self._image_index = self._load_image_set_index()
-        self._roidb_handler = self.gt_roidb
-        self._salt = str(uuid.uuid4())
-        self._comp_id = 'comp4'
-
-        self.config = {'cleanup': True,
-                       'use_salt': True,
-                       'use_diff': use_diff,
-                       'matlab_eval': False,
+        self._layout = VocLayout(Path(cfg.DATA_DIR) / f'VOCdevkit{year}',
+                                 year)
+        self._label_of = {name: i for i, name in enumerate(self.classes)}
+        self._salt = uuid.uuid4().hex
+        self.config = {'cleanup': True, 'use_salt': True,
+                       'use_diff': use_diff, 'matlab_eval': False,
                        'rpn_file': None}
+        for required in (self._layout.devkit, self._layout.data):
+            if not required.exists():
+                raise FileNotFoundError(f'VOCdevkit path missing: {required}')
+        self._image_index = self._read_split()
+        self._roidb_handler = self.gt_roidb
 
-        assert os.path.exists(self._devkit_path), \
-            'VOCdevkit path does not exist: {}'.format(self._devkit_path)
-        assert os.path.exists(self._data_path), \
-            'Path does not exist: {}'.format(self._data_path)
+    def _read_split(self):
+        split = self._layout.split_file(self._image_set)
+        if not split.exists():
+            raise FileNotFoundError(f'image set listing missing: {split}')
+        return [ln.strip() for ln in split.read_text().splitlines()
+                if ln.strip()]
+
+    # -- images ----------------------------------------------------------
 
     def image_path_at(self, i):
         return self.image_path_from_index(self._image_index[i])
 
-    def image_path_from_index(self, index):
-        path = os.path.join(
-            self._data_path, 'JPEGImages', index + self._image_ext)
-        assert os.path.exists(path), 'Path does not exist: {}'.format(path)
-        return path
+    def image_path_from_index(self, image_id):
+        path = self._layout.image(image_id)
+        if not path.exists():
+            raise FileNotFoundError(f'image missing: {path}')
+        return str(path)
 
-    def _load_image_set_index(self):
-        listing = os.path.join(
-            self._data_path, 'ImageSets', 'Main', self._image_set + '.txt')
-        assert os.path.exists(listing), \
-            'Path does not exist: {}'.format(listing)
-        with open(listing) as f:
-            return [line.strip() for line in f]
+    # -- annotations -> roidb --------------------------------------------
 
-    def _get_default_path(self):
-        return os.path.join(cfg.DATA_DIR, 'VOCdevkit' + self._year)
+    def _annotation_entry(self, image_id):
+        """One image's XML -> roidb record. Devkit coordinates are 1-based;
+        the roidb stores 0-based inclusive pixels (reference
+        pascal_voc.py:141-185)."""
+        keep_difficult = self.config['use_diff']
+        objects = []
+        for obj in _read_voc_xml(self._layout.annotation(image_id)):
+            if obj.difficult and not keep_difficult:
+                continue
+            x1, y1, x2, y2 = (float(v) - 1.0 for v in obj.box)
+            objects.append(BoxAnnotation(
+                x1, y1, x2, y2,
+                label=self._label_of[obj.name.lower().strip()],
+                difficult=obj.difficult))
+        return build_roidb_entry(objects, self.num_classes)
 
     def gt_roidb(self):
-        cache_file = os.path.join(self.cache_path,
-                                  self.name + '_gt_roidb.pkl')
-        if os.path.exists(cache_file):
-            with open(cache_file, 'rb') as fid:
-                roidb = pickle.load(fid)
-            print('{} gt roidb loaded from {}'.format(self.name, cache_file))
-            return roidb
-        gt_roidb = [self._load_pascal_annotation(index)
-                    for index in self.image_index]
-        with open(cache_file, 'wb') as fid:
-            pickle.dump(gt_roidb, fid, pickle.HIGHEST_PROTOCOL)
-        print('wrote gt roidb to {}'.format(cache_file))
-        return gt_roidb
+        cache = Path(self.cache_path) / f'{self.name}_gt_roidb.pkl'
+        return cached_build(
+            cache,
+            lambda: [self._annotation_entry(i) for i in self.image_index],
+            what=f'{self.name} gt roidb')
 
     def rpn_roidb(self):
-        """External RPN proposals merged with gt (legacy proposal mode)."""
-        if int(self._year) == 2007 or self._image_set != 'test':
-            gt_roidb = self.gt_roidb()
-            rpn_roidb = self._load_rpn_roidb(gt_roidb)
-            roidb = imdb.merge_roidbs(gt_roidb, rpn_roidb)
-        else:
-            roidb = self._load_rpn_roidb(None)
-        return roidb
-
-    def _load_rpn_roidb(self, gt_roidb):
-        filename = self.config['rpn_file']
-        print('loading {}'.format(filename))
-        assert os.path.exists(filename), \
-            'rpn data not found at: {}'.format(filename)
-        with open(filename, 'rb') as f:
+        """Legacy external-proposal mode: merge pickled RPN boxes with gt
+        (gt is unavailable for the 2012 test split)."""
+        has_gt = int(self._year) == 2007 or self._image_set != 'test'
+        gt = self.gt_roidb() if has_gt else None
+        rpn_file = self.config['rpn_file']
+        if rpn_file is None or not Path(rpn_file).exists():
+            raise FileNotFoundError(f'rpn proposal pickle: {rpn_file}')
+        with open(rpn_file, 'rb') as f:
             box_list = pickle.load(f)
-        return self.create_roidb_from_box_list(box_list, gt_roidb)
+        proposals = self.create_roidb_from_box_list(box_list, gt)
+        return imdb.merge_roidbs(gt, proposals) if has_gt else proposals
 
-    def _load_pascal_annotation(self, index):
-        """XML annotation -> roidb entry (0-based pixel coords)."""
-        filename = os.path.join(self._data_path, 'Annotations',
-                                index + '.xml')
-        tree = ET.parse(filename)
-        objs = tree.findall('object')
-        if not self.config['use_diff']:
-            objs = [obj for obj in objs
-                    if int(obj.find('difficult').text) == 0]
-        num_objs = len(objs)
+    # -- results files ----------------------------------------------------
 
-        boxes = np.zeros((num_objs, 4), dtype=np.uint16)
-        gt_classes = np.zeros((num_objs), dtype=np.int32)
-        overlaps = np.zeros((num_objs, self.num_classes), dtype=np.float32)
-        seg_areas = np.zeros((num_objs), dtype=np.float32)
+    def _comp_id(self):
+        return ('comp4_' + self._salt) if self.config['use_salt'] else 'comp4'
 
-        for ix, obj in enumerate(objs):
-            bbox = obj.find('bndbox')
-            x1 = float(bbox.find('xmin').text) - 1
-            y1 = float(bbox.find('ymin').text) - 1
-            x2 = float(bbox.find('xmax').text) - 1
-            y2 = float(bbox.find('ymax').text) - 1
-            cls = self._class_to_ind[obj.find('name').text.lower().strip()]
-            boxes[ix, :] = [x1, y1, x2, y2]
-            gt_classes[ix] = cls
-            overlaps[ix, cls] = 1.0
-            seg_areas[ix] = (x2 - x1 + 1) * (y2 - y1 + 1)
+    def _results_path(self, classname):
+        return self._layout.results_file(self._comp_id(), self._image_set,
+                                         classname)
 
-        return {'boxes': boxes,
-                'gt_classes': gt_classes,
-                'gt_overlaps': scipy.sparse.csr_matrix(overlaps),
-                'flipped': False,
-                'seg_areas': seg_areas}
+    def _foreground_classes(self):
+        return [(i, c) for i, c in enumerate(self.classes)
+                if c != '__background__']
 
-    def _get_comp_id(self):
-        return (self._comp_id + '_' + self._salt
-                if self.config['use_salt'] else self._comp_id)
+    def _write_results(self, all_boxes):
+        """Devkit-layout per-class results files; coordinates go back out
+        1-based (reference pascal_voc.py:187-219)."""
+        for cls_ind, classname in self._foreground_classes():
+            lines = []
+            for im_ind, image_id in enumerate(self.image_index):
+                dets = all_boxes[cls_ind][im_ind]
+                if len(dets) == 0:
+                    continue
+                for x1, y1, x2, y2, score in np.asarray(dets, float):
+                    lines.append(f'{image_id} {score:.3f} {x1 + 1:.1f} '
+                                 f'{y1 + 1:.1f} {x2 + 1:.1f} {y2 + 1:.1f}')
+            path = self._results_path(classname)
+            path.write_text(''.join(ln + '\n' for ln in lines))
+            print(f'[voc] wrote {len(lines)} {classname} detections '
+                  f'-> {path.name}')
 
-    def _get_voc_results_file_template(self):
-        # VOCdevkit/results/VOC2007/Main/<comp_id>_det_test_aeroplane.txt
-        filename = (self._get_comp_id() + '_det_' + self._image_set
-                    + '_{:s}.txt')
-        dirname = os.path.join(self._devkit_path, 'results',
-                               'VOC' + self._year, 'Main')
-        os.makedirs(dirname, exist_ok=True)
-        return os.path.join(dirname, filename)
+    # -- evaluation -------------------------------------------------------
 
-    def _write_voc_results_file(self, all_boxes):
-        for cls_ind, cls in enumerate(self.classes):
-            if cls == '__background__':
-                continue
-            print('Writing {} VOC results file'.format(cls))
-            filename = self._get_voc_results_file_template().format(cls)
-            with open(filename, 'wt') as f:
-                for im_ind, index in enumerate(self.image_index):
-                    dets = all_boxes[cls_ind][im_ind]
-                    if len(dets) == 0:
-                        continue
-                    # the VOCdevkit expects 1-based indices
-                    for k in range(dets.shape[0]):
-                        f.write('{:s} {:.3f} {:.1f} {:.1f} {:.1f} {:.1f}\n'
-                                .format(index, dets[k, -1],
-                                        dets[k, 0] + 1, dets[k, 1] + 1,
-                                        dets[k, 2] + 1, dets[k, 3] + 1))
-
-    def _do_python_eval(self, output_dir='output'):
-        annopath = os.path.join(self._devkit_path, 'VOC' + self._year,
-                                'Annotations', '{:s}.xml')
-        imagesetfile = os.path.join(self._devkit_path, 'VOC' + self._year,
-                                    'ImageSets', 'Main',
-                                    self._image_set + '.txt')
-        cachedir = os.path.join(self._devkit_path, 'annotations_cache')
-        aps = []
-        # the PASCAL VOC metric changed in 2010
-        use_07_metric = int(self._year) < 2010
-        print('VOC07 metric? ' + ('Yes' if use_07_metric else 'No'))
-        os.makedirs(output_dir, exist_ok=True)
-        for i, cls in enumerate(self._classes):
-            if cls == '__background__':
-                continue
-            filename = self._get_voc_results_file_template().format(cls)
-            rec, prec, ap = voc_eval(
-                filename, annopath, imagesetfile, cls, cachedir,
-                ovthresh=0.5, use_07_metric=use_07_metric,
+    def _python_eval(self, output_dir='output'):
+        """Per-class voc_eval + mAP; PR curves pickled per class. The
+        11-point metric applies to pre-2010 sets."""
+        eleven_point = int(self._year) < 2010
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        ap_of = {}
+        for _, classname in self._foreground_classes():
+            recall, precision, ap = voc_eval(
+                str(self._results_path('{:s}')),
+                str(self._layout.annotation('{:s}')),
+                str(self._layout.split_file(self._image_set)),
+                classname,
+                str(self._layout.eval_cache),
+                ovthresh=0.5,
+                use_07_metric=eleven_point,
                 use_diff=self.config['use_diff'])
-            aps += [ap]
-            print('AP for {} = {:.4f}'.format(cls, ap))
-            with open(os.path.join(output_dir, cls + '_pr.pkl'), 'wb') as f:
-                pickle.dump({'rec': rec, 'prec': prec, 'ap': ap}, f)
-        print('Mean AP = {:.4f}'.format(np.mean(aps)))
-        print('~~~~~~~~')
-        print('Results:')
-        for ap in aps:
-            print('{:.3f}'.format(ap))
-        print('{:.3f}'.format(np.mean(aps)))
-        print('~~~~~~~~')
-        return float(np.mean(aps))
+            ap_of[classname] = ap
+            with (out / f'{classname}_pr.pkl').open('wb') as f:
+                pickle.dump({'rec': recall, 'prec': precision, 'ap': ap}, f)
+        mean_ap = float(np.mean(list(ap_of.values())))
+        print(f'[voc] {"11-point" if eleven_point else "AUC"} metric, '
+              f'IoU 0.5')
+        for classname, ap in ap_of.items():
+            print(f'[voc] AP {classname:>12s} = {ap:.4f}')
+        print(f'[voc] mAP = {mean_ap:.4f}')
+        print('[voc] (python eval; the devkit MATLAB eval is the official '
+              'number — use config matlab_eval for paper results)')
+        return mean_ap
 
-    def _do_matlab_eval(self, output_dir='output'):
-        print('Computing results with the official MATLAB eval code.')
-        path = os.path.join(cfg.ROOT_DIR, 'tf_faster_rcnn_tpu', 'datasets',
-                            'VOCdevkit-matlab-wrapper')
-        cmd = 'cd {} && '.format(path)
-        cmd += '{:s} -nodisplay -nodesktop '.format(cfg.MATLAB)
-        cmd += '-r "dbstop if error; '
-        cmd += 'voc_eval(\'{:s}\',\'{:s}\',\'{:s}\',\'{:s}\'); quit;"' \
-            .format(self._devkit_path, self._get_comp_id(),
-                    self._image_set, output_dir)
-        print('Running:\n{}'.format(cmd))
-        subprocess.call(cmd, shell=True)
+    def _matlab_eval(self, output_dir='output'):
+        wrapper = (Path(cfg.ROOT_DIR) / 'tf_faster_rcnn_tpu' / 'datasets'
+                   / 'VOCdevkit-matlab-wrapper')
+        script = (f"dbstop if error; voc_eval('{self._layout.devkit}',"
+                  f"'{self._comp_id()}','{self._image_set}',"
+                  f"'{output_dir}'); quit;")
+        cmd = [cfg.MATLAB, '-nodisplay', '-nodesktop', '-r', script]
+        print(f'[voc] official MATLAB eval: {cmd}')
+        subprocess.call(cmd, cwd=str(wrapper))
 
     def evaluate_detections(self, all_boxes, output_dir):
-        self._write_voc_results_file(all_boxes)
-        mean_ap = self._do_python_eval(output_dir)
+        self._write_results(all_boxes)
+        mean_ap = self._python_eval(output_dir)
         if self.config['matlab_eval']:
-            self._do_matlab_eval(output_dir)
+            self._matlab_eval(output_dir)
         if self.config['cleanup']:
-            for cls in self._classes:
-                if cls == '__background__':
-                    continue
-                filename = self._get_voc_results_file_template().format(cls)
-                os.remove(filename)
+            for _, classname in self._foreground_classes():
+                self._results_path(classname).unlink(missing_ok=True)
         return mean_ap
 
     def competition_mode(self, on):
-        if on:
-            self.config['use_salt'] = False
-            self.config['cleanup'] = False
-        else:
-            self.config['use_salt'] = True
-            self.config['cleanup'] = True
+        """Competition submissions need unsalted, kept results files."""
+        self.config['use_salt'] = not on
+        self.config['cleanup'] = not on
