@@ -87,3 +87,32 @@ def test_postprocess_score_threshold(rng):
     kept_scores = sorted(det[dv, 1].tolist(), reverse=True)
     assert all(s > 0.5 for s in kept_scores)
     assert len(kept_scores) == 2  # 0.9 and 0.6 survive the 0.5 threshold
+
+
+def test_postprocess_bbox_reg_off_uses_raw_proposals(rng):
+    """TEST.BBOX_REG=False tiles the proposal box for every class
+    (reference test.py:100-104); deltas must have no effect."""
+    B, R, K = 1, 20, 5
+    rois = rng.uniform(0, 200, (B, R, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + rng.uniform(5, 60, (B, R, 2))
+    roi_valid = np.ones((B, R), bool)
+    logits = rng.randn(B, R, K).astype(np.float32)
+    prob = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    pred = (rng.randn(B, R, 4 * K) * 10.0).astype(np.float32)  # huge deltas
+    im_info = np.array([[300, 400, 2.0]], np.float32)
+    ohw = np.array([[150, 200]], np.float32)
+
+    det, dv = postprocess_detections(
+        rois, roi_valid, prob, pred, im_info, ohw,
+        num_classes=K, max_per_image=10, nms_thresh=0.3, bbox_reg=False)
+    det2, _ = postprocess_detections(
+        rois, roi_valid, prob, np.zeros_like(pred), im_info, ohw,
+        num_classes=K, max_per_image=10, nms_thresh=0.3, bbox_reg=False)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+
+    det, dv = np.asarray(det[0]), np.asarray(dv[0])
+    scaled = rois[0] / 2.0
+    for row in det[dv]:
+        # every output box is literally one of the (unscaled) proposals
+        match = np.isclose(scaled, row[2:], atol=1e-4).all(axis=1)
+        assert match.any()

@@ -210,6 +210,40 @@ def reset_cfg():
     cfg.update(fresh)
 
 
+# Keys kept for YAML compatibility that no code path reads — the reference
+# inherited them from py-faster-rcnn and never reads them either (verified
+# by grep over /root/reference/lib + tools; e.g. TRAIN.BBOX_REG appears only
+# in lib/model/config.py:46). Overriding one gets a loud warning instead of
+# a silent no-op. tests/test_config_coverage.py enforces that every other
+# key IS read somewhere.
+VESTIGIAL_KEYS = {
+    'TRAIN.BBOX_REG',            # box head + its loss are always built
+    'TRAIN.BBOX_THRESH',         # roidb-era fg threshold for bbox targets
+    'TRAIN.BBOX_NORMALIZE_TARGETS',  # only *_PRECOMPUTED is consulted
+    'TRAIN.HAS_RPN',             # RPN is structural in the e2e model
+    'TEST.HAS_RPN',              # idem (demo.py sets it; nothing reads it)
+    'TEST.SVM',                  # R-CNN-era SVM head never existed here
+    'TEST.PROPOSAL_METHOD',      # external-proposal eval era
+}
+
+# Keys the reference DOES honor as implementation-path switches, whose
+# behavior is structural in the TPU build (there is only one path):
+STRUCTURAL_KEYS = {
+    'USE_E2E_TF': 'the whole pipeline is always in-graph (one XLA program)',
+    'USE_GPU_NMS': 'device NMS is governed by TPU.USE_PALLAS_NMS',
+}
+
+
+def _warn_if_vestigial(dotted_key):
+    if dotted_key in VESTIGIAL_KEYS:
+        print(f'[config] WARNING: {dotted_key} is accepted for reference '
+              f'YAML compatibility but no code path reads it '
+              f'(the reference ignores it too)')
+    elif dotted_key in STRUCTURAL_KEYS:
+        print(f'[config] WARNING: {dotted_key} has no effect here: '
+              f'{STRUCTURAL_KEYS[dotted_key]}')
+
+
 def _merge_a_into_b(a, b, path=""):
     """Recursive type-checked merge of dict a into AttrDict b.
 
@@ -245,6 +279,7 @@ def _merge_a_into_b(a, b, path=""):
                 print('Error under config key: {}{}'.format(path, k))
                 raise
         else:
+            _warn_if_vestigial(path + k)
             b[k] = v
 
 
@@ -275,6 +310,7 @@ def cfg_from_list(cfg_list):
         assert type(value) == type(d[subkey]), (
             'type {} does not match original type {}'.format(
                 type(value), type(d[subkey])))
+        _warn_if_vestigial(k)
         d[subkey] = value
 
 

@@ -70,13 +70,14 @@ def multiclass_nms(boxes, scores, valid, nms_thresh, *, plus_one=True,
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "max_per_image",
                                              "nms_thresh", "score_thresh",
-                                             "use_pallas"))
+                                             "use_pallas", "bbox_reg"))
 def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
                            orig_hw, *, num_classes: int,
                            max_per_image: int = 100,
                            nms_thresh: float = 0.3,
                            score_thresh: float = 0.0,
-                           use_pallas=None):
+                           use_pallas=None,
+                           bbox_reg: bool = True):
     """Full batched postprocess.
 
     rois: [B, R, 4] proposals in scaled-image coords; roi_valid: [B, R];
@@ -92,8 +93,13 @@ def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
     kc = k - 1  # foreground classes
 
     boxes = rois / im_info[:, 2][:, None, None]      # back to orig coords
-    pred = bbox_transform_inv(boxes, bbox_pred)      # [B, R, 4K]
-    pred = clip_boxes(pred, orig_hw)
+    if bbox_reg:
+        pred = bbox_transform_inv(boxes, bbox_pred)  # [B, R, 4K]
+        pred = clip_boxes(pred, orig_hw)
+    else:
+        # TEST.BBOX_REG=False: every class scores the raw proposal box
+        # (reference test.py:100-104 tiles, and does not re-clip)
+        pred = jnp.tile(boxes, (1, 1, k))
     pb = pred.reshape(b, r, k, 4).transpose(0, 2, 1, 3)[:, 1:]  # [B,kc,R,4]
     ps = cls_prob.transpose(0, 2, 1)[:, 1:]                     # [B,kc,R]
     pv = roi_valid[:, None, :] & (ps > score_thresh)

@@ -39,6 +39,7 @@ def make_detect_fn(model, spec, max_per_image: Optional[int] = None,
     import jax
     mpi = int(max_per_image or cfg.TPU.MAX_PER_IMAGE)
     nms_thresh = float(cfg.TEST.NMS)
+    bbox_reg = bool(cfg.TEST.BBOX_REG)
 
     @jax.jit
     def detect(params, image, im_info, orig_hw):
@@ -47,7 +48,7 @@ def make_detect_fn(model, spec, max_per_image: Optional[int] = None,
             out["rois"], out["roi_valid"], out["cls_prob"], out["bbox_pred"],
             im_info, orig_hw, num_classes=spec.num_classes,
             max_per_image=mpi, nms_thresh=nms_thresh,
-            score_thresh=score_thresh)
+            score_thresh=score_thresh, bbox_reg=bbox_reg)
 
     return detect
 

@@ -72,6 +72,7 @@ class ModelSpec:
     rpn_negative_overlap: float = 0.3
     rpn_clobber_positives: bool = False
     rpn_positive_weight: float = -1.0
+    rpn_bbox_inside_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     # RoI target sampling (TRAIN)
     roi_batch_size: int = 128
     fg_fraction: float = 0.25
@@ -79,6 +80,7 @@ class ModelSpec:
     bg_thresh_hi: float = 0.5
     bg_thresh_lo: float = 0.1
     use_gt: bool = False
+    bbox_inside_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     bbox_normalize: bool = True
     bbox_normalize_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
     bbox_normalize_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
@@ -102,6 +104,11 @@ def spec_from_cfg(backbone: str, num_classes: int, mode: str) -> ModelSpec:
     if cfg.TPU.SPACE_TO_DEPTH and backbone not in ("res50", "res101",
                                                    "res152"):
         raise ValueError("TPU.SPACE_TO_DEPTH supports ResNet backbones only")
+    if cfg.POOLING_MODE != "crop":
+        # same contract as the reference graph builder (network.py:253-260):
+        # 'crop' (crop_and_resize RoI extraction) is the only mode
+        raise NotImplementedError(
+            f"POOLING_MODE {cfg.POOLING_MODE!r}: only 'crop' exists")
     return ModelSpec(
         backbone=backbone,
         num_classes=num_classes,
@@ -129,12 +136,14 @@ def spec_from_cfg(backbone: str, num_classes: int, mode: str) -> ModelSpec:
         rpn_negative_overlap=float(cfg.TRAIN.RPN_NEGATIVE_OVERLAP),
         rpn_clobber_positives=bool(cfg.TRAIN.RPN_CLOBBER_POSITIVES),
         rpn_positive_weight=float(cfg.TRAIN.RPN_POSITIVE_WEIGHT),
+        rpn_bbox_inside_weights=tuple(cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS),
         roi_batch_size=int(cfg.TRAIN.BATCH_SIZE),
         fg_fraction=float(cfg.TRAIN.FG_FRACTION),
         fg_thresh=float(cfg.TRAIN.FG_THRESH),
         bg_thresh_hi=float(cfg.TRAIN.BG_THRESH_HI),
         bg_thresh_lo=float(cfg.TRAIN.BG_THRESH_LO),
         use_gt=bool(cfg.TRAIN.USE_GT),
+        bbox_inside_weights=tuple(cfg.TRAIN.BBOX_INSIDE_WEIGHTS),
         bbox_normalize=bool(cfg.TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED),
         bbox_normalize_means=tuple(cfg.TRAIN.BBOX_NORMALIZE_MEANS),
         bbox_normalize_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),
@@ -283,12 +292,14 @@ class FasterRCNN(nn.Module):
                 negative_overlap=s.rpn_negative_overlap,
                 clobber_positives=s.rpn_clobber_positives,
                 positive_weight=s.rpn_positive_weight,
+                inside_weight=s.rpn_bbox_inside_weights,
             ))(gt_boxes, gt_valid, im_info, keys[:b])
             pt = jax.vmap(lambda r, rv, g, gv, k: proposal_target(
                 r, rv, g, gv, k, s.num_classes,
                 batch_size=s.roi_batch_size, fg_fraction=s.fg_fraction,
                 fg_thresh=s.fg_thresh, bg_thresh_hi=s.bg_thresh_hi,
                 bg_thresh_lo=s.bg_thresh_lo, use_gt=s.use_gt,
+                inside_weight=s.bbox_inside_weights,
                 normalize=s.bbox_normalize,
                 normalize_means=s.bbox_normalize_means,
                 normalize_stds=s.bbox_normalize_stds,
