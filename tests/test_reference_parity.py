@@ -245,3 +245,238 @@ def test_proposal_layer_parity(ref, rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(fg[idx[valid]], w_scores[:valid.sum(), 0],
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Whole-TEST-path parity at real scale (VERDICT round-1 item 3): the
+# reference's executable numpy proposal chain (decode -> clip -> [cap] ->
+# NMS -> post cap) runs as oracle on a 600x1000-sized grid (38x63x9 = 21546
+# anchors) and our static-shape on-device path must match exactly --
+# including adversarial clustered-score patterns at the pre-NMS cap
+# boundary, which settle the cap-soundness argument:
+#
+#   THEOREM. A box outside the top-C by score can only suppress boxes of
+#   lower score (greedy NMS), which are also outside the top C. Hence
+#   NMS(top C) survivors == (full NMS survivors) restricted to the top C, in
+#   identical order. If NMS(top C) yields >= P survivors, the first P of the
+#   full no-cap NMS are EXACTLY the first P of NMS(top C). Divergence is
+#   possible only when suppression inside the cap leaves < P survivors; then
+#   ours is a strict prefix of the oracle's list.
+# ---------------------------------------------------------------------------
+
+def _real_grid(fh=38, fw=63, stride=16):
+    from tf_faster_rcnn_tpu.ops import anchor_grid
+    anchors = np.asarray(anchor_grid(fh, fw, stride), np.float32)
+    return anchors, fh, fw, stride
+
+
+def _e2e_nms_stub(dets, thresh, force_cpu=False):
+    """tf.image.non_max_suppression semantics (the reference default path,
+    USE_E2E_TF=True): standard IoU, no +1 widths."""
+    return nms_cpu(np.asarray(dets, np.float32), thresh, plus_one=False,
+                   suppress_eq=False).tolist()
+
+
+def _ref_proposals(ref, scores_map, deltas_map, im_info, mode, anchors,
+                   pre_n, post_n, plus_one):
+    saved = (ref.cfg[mode].RPN_PRE_NMS_TOP_N,
+             ref.cfg[mode].RPN_POST_NMS_TOP_N, ref.proposal_layer.nms)
+    ref.cfg[mode].RPN_PRE_NMS_TOP_N = pre_n
+    ref.cfg[mode].RPN_POST_NMS_TOP_N = post_n
+    if not plus_one:
+        ref.proposal_layer.nms = _e2e_nms_stub
+    try:
+        blob, w_scores = ref.proposal_layer.proposal_layer(
+            scores_map, deltas_map, im_info, mode, None,
+            anchors.astype(np.float64), scores_map.shape[-1] // 2)
+    finally:
+        (ref.cfg[mode].RPN_PRE_NMS_TOP_N,
+         ref.cfg[mode].RPN_POST_NMS_TOP_N,
+         ref.proposal_layer.nms) = saved
+    return blob[:, 1:5], w_scores[:, 0]
+
+
+def _our_proposals(anchors, fg, deltas, im_info, post_n, cap, plus_one):
+    from tf_faster_rcnn_tpu.ops import bbox_transform_inv, clip_boxes
+    from tf_faster_rcnn_tpu.ops.nms import sorted_nms
+    n = anchors.shape[0]
+    boxes = np.asarray(clip_boxes(bbox_transform_inv(anchors, deltas),
+                                  im_info[:2]))
+    idx, valid = sorted_nms(boxes, fg, np.ones(n, bool), 0.7, post_n,
+                            plus_one=plus_one, suppress_eq=False,
+                            pre_sort_k=cap, use_pallas=False)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    return boxes[idx[valid]], fg[idx[valid]]
+
+
+def _rand_rpn_outputs(rng, fh, fw, a=9, delta_scale=0.25):
+    scores_map = rng.rand(1, fh, fw, 2 * a).astype(np.float32)
+    deltas_map = (rng.randn(1, fh, fw, 4 * a) * delta_scale).astype(
+        np.float32)
+    return scores_map, deltas_map
+
+
+@pytest.mark.parametrize("mode,post_n", [("TEST", 300), ("TRAIN", 2000)])
+def test_e2e_proposal_parity_real_size(ref, rng, mode, post_n):
+    """Static 6000-cap path == the reference's NO-CAP default path (E2E
+    semantics) at 600x1000 scale, TEST and TRAIN configs."""
+    anchors, fh, fw, stride = _real_grid()
+    a = 9
+    scores_map, deltas_map = _rand_rpn_outputs(rng, fh, fw)
+    im_info = np.array([600.0, 1000.0, 1.0])
+
+    want_boxes, want_scores = _ref_proposals(
+        ref, scores_map, deltas_map, im_info, mode, anchors,
+        pre_n=0, post_n=post_n, plus_one=False)
+
+    fg = scores_map[0, :, :, a:].reshape(-1)
+    deltas = deltas_map.reshape(-1, 4)
+    got_boxes, got_scores = _our_proposals(
+        anchors, fg, deltas, im_info, post_n, cap=6000, plus_one=False)
+
+    assert got_boxes.shape[0] == post_n  # cap did not starve the output
+    assert want_boxes.shape[0] == post_n
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-4, atol=1e-3)
+
+
+def test_legacy_numpy_proposal_parity_train_12000(ref, rng):
+    """The non-E2E numpy path (pre-NMS 12000 cap, +1-width host NMS) is also
+    reproducible exactly with plus_one=True."""
+    anchors, fh, fw, stride = _real_grid()
+    a = 9
+    scores_map, deltas_map = _rand_rpn_outputs(rng, fh, fw)
+    im_info = np.array([600.0, 1000.0, 1.0])
+    want_boxes, want_scores = _ref_proposals(
+        ref, scores_map, deltas_map, im_info, "TRAIN", anchors,
+        pre_n=12000, post_n=2000, plus_one=True)
+    fg = scores_map[0, :, :, a:].reshape(-1)
+    got_boxes, got_scores = _our_proposals(
+        anchors, fg, deltas_map.reshape(-1, 4), im_info, 2000,
+        cap=12000, plus_one=True)
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-4, atol=1e-3)
+
+
+def _clustered_rpn_outputs(ref, rng, anchors, n_clusters, n_top=6000,
+                           hw=(600.0, 1000.0)):
+    """Adversarial construction: the n_top highest-scoring anchors all
+    decode onto only n_clusters distinct boxes (identical within a cluster,
+    far apart across clusters), so NMS inside the cap leaves exactly
+    n_clusters survivors. Low-scored anchors decode to well-separated small
+    boxes below them."""
+    n = anchors.shape[0]
+    top_idx = rng.choice(n, n_top, replace=False)
+    # distinct 40x40 cluster boxes on a 32px grid kept fully INSIDE the
+    # image (clipping a box to zero area would give undefined IoU and break
+    # the construction); 32px spacing keeps cross-cluster IoU ~0.11 << 0.7
+    cols = int((hw[1] - 45) // 32)
+    assert n_clusters <= cols * int((hw[0] - 45) // 32)
+    cx = (np.arange(n_clusters) % cols) * 32.0 + 2
+    cy = (np.arange(n_clusters) // cols) * 32.0 + 2
+    centers = np.stack([cx, cy, cx + 40.0, cy + 40.0], axis=1)
+    assign = rng.randint(0, n_clusters, n_top)
+    deltas = np.zeros((n, 4), np.float64)
+    deltas[top_idx] = ref.bbox_transform.bbox_transform(
+        anchors[top_idx].astype(np.float64), centers[assign])
+    scores = rng.uniform(0.0, 0.4, n)
+    scores[top_idx] = rng.uniform(0.6, 1.0, n_top)
+    return scores.astype(np.float32), deltas.astype(np.float32)
+
+
+def test_cap_boundary_saturated_but_sufficient(ref, rng):
+    """400 clusters inside the cap -> survivors (400) >= post_n (300):
+    heavy suppression at the cap boundary, still EXACT vs no-cap oracle."""
+    anchors, fh, fw, _ = _real_grid()
+    scores, deltas = _clustered_rpn_outputs(ref, rng, anchors, 400)
+    im_info = np.array([600.0, 1000.0, 1.0])
+    a = 9
+    scores_map = np.zeros((1, fh, fw, 2 * a), np.float32)
+    scores_map[0, :, :, a:] = scores.reshape(fh, fw, a)
+    deltas_map = deltas.reshape(1, fh, fw, 4 * a)
+
+    want_boxes, want_scores = _ref_proposals(
+        ref, scores_map, deltas_map, im_info, "TEST", anchors,
+        pre_n=0, post_n=300, plus_one=False)
+    got_boxes, got_scores = _our_proposals(
+        anchors, scores, deltas, im_info, 300, cap=6000, plus_one=False)
+    assert got_boxes.shape[0] == 300
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-4, atol=1e-3)
+
+
+def test_cap_boundary_starved_prefix_property(ref, rng):
+    """200 clusters < post_n 300: the capped path yields exactly the 200
+    in-cap survivors and they are EXACTLY the oracle's first 200 (the
+    theorem's prefix property); the no-cap oracle then continues below the
+    cap. Raising the cap to N restores full equality."""
+    anchors, fh, fw, _ = _real_grid()
+    n = anchors.shape[0]
+    scores, deltas = _clustered_rpn_outputs(ref, rng, anchors, 200)
+    im_info = np.array([600.0, 1000.0, 1.0])
+    a = 9
+    scores_map = np.zeros((1, fh, fw, 2 * a), np.float32)
+    scores_map[0, :, :, a:] = scores.reshape(fh, fw, a)
+    deltas_map = deltas.reshape(1, fh, fw, 4 * a)
+
+    want_boxes, want_scores = _ref_proposals(
+        ref, scores_map, deltas_map, im_info, "TEST", anchors,
+        pre_n=0, post_n=300, plus_one=False)
+    assert want_boxes.shape[0] == 300
+
+    got_boxes, got_scores = _our_proposals(
+        anchors, scores, deltas, im_info, 300, cap=6000, plus_one=False)
+    assert got_boxes.shape[0] == 200          # starved: strict prefix only
+    np.testing.assert_allclose(got_scores, want_scores[:200], rtol=1e-6)
+    np.testing.assert_allclose(got_boxes, want_boxes[:200],
+                               rtol=1e-4, atol=1e-3)
+
+    full_boxes, full_scores = _our_proposals(
+        anchors, scores, deltas, im_info, 300, cap=n, plus_one=False)
+    assert full_boxes.shape[0] == 300
+    np.testing.assert_allclose(full_scores, want_scores, rtol=1e-6)
+    np.testing.assert_allclose(full_boxes, want_boxes, rtol=1e-4, atol=1e-3)
+
+
+def test_full_head_postprocess_parity_real_size(ref, rng):
+    """Detection-head postprocess at real scale (R=300 proposals, K=21
+    classes, max_per_image=100): oracle is the reference's own
+    bbox_transform_inv/clip_boxes (actual imported code) + per-class
+    +1-width NMS + global score cap, exactly lib/model/test.py:86-180."""
+    from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
+    R, K = 300, 21
+    scale = 1.6
+    ohw = np.array([375.0, 625.0])
+    rois = rng.uniform(0, 590, (R, 4))
+    rois[:, 2:] = np.minimum(rois[:, :2] + rng.uniform(8, 300, (R, 2)),
+                             [599.0, 999.0])
+    rois = rois.astype(np.float32)
+    logits = (rng.randn(R, K) * 2).astype(np.float32)
+    prob = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    pred = (rng.randn(R, 4 * K) * 0.3).astype(np.float32)
+
+    # oracle: reference code on the host
+    boxes = rois.astype(np.float64) / scale
+    decoded = ref.bbox_transform.bbox_transform_inv(boxes,
+                                                    pred.astype(np.float64))
+    decoded = ref.bbox_transform.clip_boxes(decoded, ohw)
+    want = []
+    for c in range(1, K):
+        dets = np.hstack([decoded[:, 4 * c:4 * c + 4],
+                          prob[:, c:c + 1]]).astype(np.float32)
+        keep = nms_cpu(dets, 0.3, plus_one=True, suppress_eq=False)
+        want += [(c, dets[k, 4], dets[k, :4]) for k in keep]
+    want.sort(key=lambda d: -d[1])
+    want = want[:100]
+
+    det, dv = postprocess_detections(
+        rois[None], np.ones((1, R), bool), prob[None], pred[None],
+        np.array([[600.0, 1000.0, scale]], np.float32), ohw[None],
+        num_classes=K, max_per_image=100, nms_thresh=0.3)
+    det, dv = np.asarray(det[0]), np.asarray(dv[0])
+    got = det[dv]
+    assert len(got) == len(want)
+    for row, (c, s, b) in zip(got, want):
+        assert int(row[0]) == c
+        np.testing.assert_allclose(row[1], s, rtol=1e-5)
+        np.testing.assert_allclose(row[2:], b, rtol=1e-4, atol=1e-3)
