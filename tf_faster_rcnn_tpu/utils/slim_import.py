@@ -33,6 +33,12 @@ __all__ = ["convert_slim_weights", "load_pretrained_into", "load_var_dict"]
 
 
 def load_var_dict(path: str) -> Dict[str, np.ndarray]:
+    """Slim var dict from an .npz/.pkl export or a real TF ``.ckpt``
+    TensorBundle prefix (read natively — utils/tf_bundle.py)."""
+    from tf_faster_rcnn_tpu.utils.tf_bundle import (is_tf_checkpoint,
+                                                    read_tf_checkpoint)
+    if is_tf_checkpoint(path):
+        return read_tf_checkpoint(path)
     if path.endswith(".npz"):
         return dict(np.load(path, allow_pickle=True))
     with open(path, "rb") as f:

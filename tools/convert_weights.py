@@ -4,10 +4,16 @@
 The reference ships tools/convert_from_depre.py to migrate old-generation
 snapshots via variable-name mapping (convert_names,
 /root/reference/tools/convert_from_depre.py:105-173). The equivalent
-migration here: a slim/TF variable dict (.npz or pickle of name->ndarray,
-exported from any tf-faster-rcnn or slim ImageNet checkpoint) is mapped
-through the surgery rules in utils/slim_import.py and written as a params
-msgpack that tools/{test_net,demo}.py consume directly.
+migration here accepts, as --src:
+
+* a real TF ``.ckpt`` TensorBundle prefix (the reference's snapshot format
+  and its released models, fetch_faster_rcnn_models.sh) — read natively by
+  utils/tf_bundle.py, no TensorFlow needed;
+* a slim/TF variable dict (.npz or pickle of name->ndarray).
+
+Either is mapped through the surgery rules in utils/slim_import.py and
+written as a params msgpack that tools/{test_net,demo}.py consume directly.
+See RUNBOOK.md for the end-to-end released-model recipe.
 """
 
 import argparse
@@ -25,7 +31,7 @@ def main():
                         choices=('vgg16', 'res50', 'res101', 'res152',
                                  'mobile'))
     parser.add_argument('--src', required=True,
-                        help='slim var dict (.npz or .pkl)')
+                        help='TF .ckpt prefix, or slim var dict (.npz/.pkl)')
     parser.add_argument('--dst', required=True, help='output .msgpack')
     parser.add_argument('--num-classes', type=int, default=21)
     parser.add_argument('--cfg', dest='cfg_file', default=None)
