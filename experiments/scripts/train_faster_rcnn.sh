@@ -7,6 +7,15 @@
 # Usage: ./experiments/scripts/train_faster_rcnn.sh DEVICES DATASET NET [extra --set args]
 # DATASET in {pascal_voc, pascal_voc_0712, coco}
 # NET in {vgg16, res50, res101, res152, mobile}
+#
+# Batched-recipe semantics: the ITERS/STEPSIZE tables below are the
+# reference's, counted in IMAGES (1 image/step there). With DEVICES > 1
+# (global batch B = DEVICES x TPU.IMS_PER_DEVICE) the engine applies the
+# linear-scaling rule automatically (LR x B with warmup, steps / B — same
+# image budget, engine/train.py::scale_recipe), so these tables stay valid
+# verbatim at any device count. Disable with
+#   --set TPU.AUTO_SCALE_SCHEDULE False
+# to interpret ITERS as raw step counts instead.
 
 set -x
 set -e

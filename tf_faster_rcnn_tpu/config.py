@@ -24,7 +24,8 @@ import numpy as np
 
 __all__ = [
     "AttrDict", "cfg", "cfg_from_file", "cfg_from_list", "reset_cfg",
-    "get_output_dir", "get_output_tb_dir",
+    "get_output_dir", "get_output_tb_dir", "canvas_hw", "canvas_buckets",
+    "bucket_index", "mixed_canvas",
 ]
 
 
@@ -153,6 +154,14 @@ def _default_cfg() -> AttrDict:
     C.TPU.CANVAS_SIZE = [0, 0]
     # Max ground-truth boxes per image after padding (mask-carried).
     C.TPU.MAX_GT = 100
+    # Orientation bucketing: compile one program per (landscape, portrait)
+    # canvas instead of a single square MAX_SIZE^2 canvas, batching images
+    # by orientation. The reference pads each blob only to its own per-image
+    # size (lib/utils/blob.py:17-30); two orientation buckets recover most
+    # of that padding waste (up to ~40% of pixels on mixed-orientation sets)
+    # at the cost of one extra compile. Ignored when TPU.CANVAS_SIZE pins an
+    # explicit single canvas.
+    C.TPU.BUCKETING = True
     # Cap on boxes entering RPN NMS (sorted by score). The reference E2E path
     # has no pre-NMS cap (lib/layer_utils/proposal_layer.py:72); a static cap
     # is required for fixed shapes. 0 = use RPN_PRE_NMS_TOP_N.
@@ -190,6 +199,19 @@ def _default_cfg() -> AttrDict:
     # wall-clock TRAIN.SUMMARY_INTERVAL (host clocks would desynchronize the
     # collective val-loss forward and deadlock).
     C.TPU.SUMMARY_ITERS = 500
+    # Batched-recipe mapping. The reference schedules (ITERS/STEPSIZE tables
+    # in experiments/scripts/train_faster_rcnn.sh:18-44) assume ONE image
+    # per step. With a global batch B = IMS_PER_DEVICE x n_devices, the
+    # linear-scaling rule (Goyal et al. 2017, arXiv:1706.02677) keeps the
+    # recipe equivalent: LR x B with a linear warmup, iteration counts / B
+    # (same total image budget and epochs, same LR-vs-epoch curve).
+    # --iters and TRAIN.STEPSIZE therefore always stay in REFERENCE units
+    # (images); the engine rescales them internally when this is on.
+    C.TPU.AUTO_SCALE_SCHEDULE = True
+    # Warmup length in reference units (images); /B batched steps. 0 = off.
+    C.TPU.WARMUP_ITERS = 500
+    # LR starts at WARMUP_FACTOR x scaled LR and ramps linearly to 1x.
+    C.TPU.WARMUP_FACTOR = 1.0 / 3.0
     # On-device failure detection (absent in the reference — NaN blowups are
     # a README pointer there): skip the params/momentum update whenever the
     # loss or any gradient is non-finite; the train loop aborts after
@@ -346,3 +368,44 @@ def canvas_hw(phase_cfg) -> tuple:
         return int(h), int(w)
     m = int(np.ceil(phase_cfg.MAX_SIZE / 32.0) * 32)
     return m, m
+
+
+def canvas_buckets(phase_cfg) -> tuple:
+    """Static input canvases for a train/test phase, one per bucket.
+
+    After shortest-side resize to a SCALES target capped by MAX_SIZE
+    (data/blob.py::prep_im_for_blob, reference lib/utils/blob.py:33-47), an
+    image's short side is <= max(SCALES) and its long side <= MAX_SIZE. So a
+    landscape image (w >= h) always fits (ceil32(max(SCALES)),
+    ceil32(MAX_SIZE)) and a portrait one the transpose — two buckets cover
+    every input with far less padding than the square MAX_SIZE^2 fallback
+    (e.g. VOC: 608x1024/1024x608 vs 1024x1024).
+
+    Returns ((H, W), ...), landscape first. Collapses to a single canvas
+    when TPU.CANVAS_SIZE pins one, TPU.BUCKETING is off, or the two buckets
+    would coincide (SCALES >= MAX_SIZE).
+    """
+    h, w = cfg.TPU.CANVAS_SIZE
+    if h and w:
+        return ((int(h), int(w)),)
+    if not cfg.TPU.BUCKETING:
+        return (canvas_hw(phase_cfg),)
+    s = int(np.ceil(max(phase_cfg.SCALES) / 32.0) * 32)
+    m = int(np.ceil(phase_cfg.MAX_SIZE / 32.0) * 32)
+    if s >= m:
+        return ((m, m),)
+    return ((s, m), (m, s))
+
+
+def bucket_index(im_h, im_w, buckets) -> int:
+    """Bucket for an image of extent (im_h, im_w) — original or resized;
+    orientation is scale-invariant. Landscape (w >= h) -> bucket 0."""
+    if len(buckets) == 1:
+        return 0
+    return 0 if im_w >= im_h else 1
+
+
+def mixed_canvas(buckets) -> tuple:
+    """Smallest canvas fitting every bucket — the fallback for a batch that
+    mixes orientations (train-time only; eval groups by bucket)."""
+    return (max(b[0] for b in buckets), max(b[1] for b in buckets))

@@ -29,7 +29,7 @@ from tf_faster_rcnn_tpu.models.network import (FasterRCNN, ModelSpec,
                                                trainable_mask)
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "lr_schedule", "make_optimizer"]
+           "lr_schedule", "make_optimizer", "scale_recipe"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -46,16 +46,55 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt)
 
 
-def lr_schedule(base_lr: float, gamma: float, stepsizes) -> Callable:
+def lr_schedule(base_lr: float, gamma: float, stepsizes,
+                warmup_steps: int = 0,
+                warmup_factor: float = 1.0) -> Callable:
     """Piecewise-constant gamma decay at each stepsize boundary
-    (train_val.py:267-274; config TRAIN.STEPSIZE supports a list)."""
+    (train_val.py:267-274; config TRAIN.STEPSIZE supports a list), with an
+    optional linear warmup over the first ``warmup_steps`` steps from
+    ``warmup_factor * base_lr`` — the standard companion of the linear
+    batch-scaling rule (scale_recipe)."""
     boundaries = jnp.asarray(sorted(int(s) for s in stepsizes))
 
     def lr(step):
         n = jnp.sum(step >= boundaries)
-        return base_lr * jnp.power(gamma, n.astype(jnp.float32))
+        value = base_lr * jnp.power(gamma, n.astype(jnp.float32))
+        if warmup_steps > 0:
+            frac = jnp.minimum(step.astype(jnp.float32) / warmup_steps, 1.0)
+            value = value * (warmup_factor + (1.0 - warmup_factor) * frac)
+        return value
 
     return lr
+
+
+def scale_recipe(batch_size: int):
+    """Map the reference's 1-image/step schedule onto a global batch.
+
+    Linear-scaling rule (Goyal et al. 2017): returns a dict with the scaled
+    learning rate, STEPSIZE boundaries and warmup (in batched steps), and
+    ``iters(n)`` converting reference iteration counts (images) to batched
+    steps. Identity when batch_size == 1 or TPU.AUTO_SCALE_SCHEDULE is off,
+    so single-image runs follow the reference exactly
+    (train_faster_rcnn.sh:18-44 semantics).
+    """
+    from tf_faster_rcnn_tpu.config import cfg
+    b = max(1, int(batch_size))
+    scale = b if bool(cfg.TPU.AUTO_SCALE_SCHEDULE) else 1
+
+    def iters(n):
+        return max(1, -(-int(n) // scale))
+
+    warmup = 0
+    if scale > 1 and int(cfg.TPU.WARMUP_ITERS) > 0:
+        warmup = iters(cfg.TPU.WARMUP_ITERS)
+    return {
+        "learning_rate": float(cfg.TRAIN.LEARNING_RATE) * scale,
+        "stepsizes": [iters(s) for s in cfg.TRAIN.STEPSIZE],
+        "warmup_steps": warmup,
+        "warmup_factor": float(cfg.TPU.WARMUP_FACTOR) if warmup else 1.0,
+        "iters": iters,
+        "scale": scale,
+    }
 
 
 def _double_bias() -> optax.GradientTransformation:
@@ -77,9 +116,11 @@ def _double_bias() -> optax.GradientTransformation:
 
 def make_optimizer(spec: ModelSpec, params, *, learning_rate: float,
                    momentum: float, gamma: float, stepsizes,
-                   double_bias: bool) -> optax.GradientTransformation:
+                   double_bias: bool, warmup_steps: int = 0,
+                   warmup_factor: float = 1.0) -> optax.GradientTransformation:
     mask = trainable_mask(params, spec)
-    sched = lr_schedule(learning_rate, gamma, stepsizes)
+    sched = lr_schedule(learning_rate, gamma, stepsizes,
+                        warmup_steps, warmup_factor)
     chain = []
     if double_bias:
         chain.append(_double_bias())
@@ -92,8 +133,13 @@ def make_optimizer(spec: ModelSpec, params, *, learning_rate: float,
     return optax.chain(*chain)
 
 
-def create_train_state(spec: ModelSpec, params, key) -> TrainState:
+def create_train_state(spec: ModelSpec, params, key,
+                       batch_size: int = 1) -> TrainState:
     """Build state from the global cfg's TRAIN options.
+
+    batch_size: the GLOBAL images/step; > 1 applies the linear-scaling
+    recipe mapping (scale_recipe) so the reference schedule semantics are
+    preserved per image seen.
 
     TPU.PARAM_DTYPE='bfloat16' casts params (and therefore the optimizer's
     momentum trace) to bf16 — half the state HBM, but SGD updates smaller
@@ -106,13 +152,16 @@ def create_train_state(spec: ModelSpec, params, key) -> TrainState:
         params = jax.tree_util.tree_map(
             lambda x: x.astype(pdtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    recipe = scale_recipe(batch_size)
     tx = make_optimizer(
         spec, params,
-        learning_rate=float(cfg.TRAIN.LEARNING_RATE),
+        learning_rate=recipe["learning_rate"],
         momentum=float(cfg.TRAIN.MOMENTUM),
         gamma=float(cfg.TRAIN.GAMMA),
-        stepsizes=list(cfg.TRAIN.STEPSIZE),
-        double_bias=bool(cfg.TRAIN.DOUBLE_BIAS))
+        stepsizes=recipe["stepsizes"],
+        double_bias=bool(cfg.TRAIN.DOUBLE_BIAS),
+        warmup_steps=recipe["warmup_steps"],
+        warmup_factor=recipe["warmup_factor"])
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), key=key, tx=tx)
 
