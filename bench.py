@@ -3,11 +3,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: the BASELINE.json headline config — R101 Faster R-CNN at 600px-
-class input (608x1024 canvas, the typical VOC 600x~1000 shape padded to
-stride-32 multiples), TEST graph with 300 post-NMS proposals and the full
-on-device postprocess (per-class NMS + top-100 cap). Batched inference —
-the reference is structurally single-image (lib/model/test.py:88), batching
-is part of the TPU-native redesign.
+class input on the test engine's own landscape-bucket canvas (config.
+canvas_buckets(cfg.TEST)[0] = 608x1024 for the default SCALES=600/
+MAX_SIZE=1000 — the shape test_net actually compiles for landscape
+batches), TEST graph with 300 post-NMS proposals and the full on-device
+postprocess (per-class NMS + top-100 cap). Batched inference — the
+reference is structurally single-image (lib/model/test.py:88), batching is
+part of the TPU-native redesign.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
 reference's own runtime prints put R101 at roughly 110-160 ms/image on the
@@ -24,7 +26,6 @@ import numpy as np
 
 REF_IMAGES_PER_SEC = 7.0
 BATCH = 8
-CANVAS = (608, 1024)
 WARMUP = 3
 ITERS = 20
 
@@ -48,8 +49,9 @@ def main():
         rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
     model = FasterRCNN(spec)
 
+    from tf_faster_rcnn_tpu.config import canvas_buckets
     from tf_faster_rcnn_tpu.data.blob import space_to_depth
-    h, w = CANVAS
+    h, w = canvas_buckets(cfg.TEST)[0]  # the engine's landscape canvas
     rng = np.random.RandomState(0)
     image = rng.randn(BATCH, h, w, 3).astype(np.float32) * 40.0
     image = np.stack([space_to_depth(im) for im in image])

@@ -118,11 +118,18 @@ class RoIDataLayer(object):
         random draws are made at global-batch granularity) but materializes
         — decodes, resizes, pads — only its own contiguous slice of each
         batch, for parallel/mesh.py::shard_batch to assemble."""
-        from tf_faster_rcnn_tpu.config import canvas_hw as cfg_canvas
+        from tf_faster_rcnn_tpu.config import canvas_buckets, mixed_canvas
         self._roidb = roidb
         self._random = random
         self._batch = batch_size or int(cfg.TRAIN.IMS_PER_BATCH)
-        self._canvas = canvas_hw or cfg_canvas(cfg.TRAIN)
+        # an explicit canvas pins every batch to one shape; otherwise each
+        # batch runs on its orientation bucket's canvas (mixed-orientation
+        # batches fall back to the union canvas) — with ASPECT_GROUPING the
+        # permutation keeps batches orientation-pure, so the step program
+        # compiles once per bucket instead of once for the big square
+        self._buckets = (canvas_hw,) if canvas_hw else \
+            canvas_buckets(cfg.TRAIN)
+        self._mixed = mixed_canvas(self._buckets)
         self._max_gt = max_gt or int(cfg.TPU.MAX_GT)
         assert self._batch % process_count == 0, (
             f"global batch {self._batch} not divisible by "
@@ -178,8 +185,22 @@ class RoIDataLayer(object):
         self._cur += self._batch
         return db_inds
 
+    def _batch_canvas(self, db_inds):
+        """Canvas for a batch, decided from the GLOBAL index list (before
+        host slicing) so every process ships the same shard shape."""
+        if len(self._buckets) == 1:
+            return self._buckets[0]
+        from tf_faster_rcnn_tpu.config import bucket_index
+        entries = [self._roidb[int(i)] for i in db_inds]
+        if not all('width' in e and 'height' in e for e in entries):
+            return self._mixed  # no size metadata (prepare_roidb not run)
+        ks = {bucket_index(e['height'], e['width'], self._buckets)
+              for e in entries}
+        return self._buckets[ks.pop()] if len(ks) == 1 else self._mixed
+
     def forward(self) -> Dict:
         db_inds = self._get_next_minibatch_inds()
+        canvas = self._batch_canvas(db_inds)
         # one global-batch-sized draw keeps host RNG streams identical
         # regardless of which slice each host materializes
         scales = cfg.TRAIN.SCALES
@@ -189,7 +210,7 @@ class RoIDataLayer(object):
             sl = slice(self._pid * per, (self._pid + 1) * per)
             db_inds, scale_inds = db_inds[sl], scale_inds[sl]
         entries = [self._roidb[int(i)] for i in db_inds]
-        return get_minibatch(entries, self._canvas, self._max_gt, self._rng,
+        return get_minibatch(entries, canvas, self._max_gt, self._rng,
                              target_sizes=[scales[int(i)]
                                            for i in scale_inds])
 

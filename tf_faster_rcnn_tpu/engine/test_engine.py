@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-from tf_faster_rcnn_tpu.config import canvas_hw, cfg
+from tf_faster_rcnn_tpu.config import bucket_index, canvas_buckets, cfg
 from tf_faster_rcnn_tpu.data.blob import (batch_image_shape, image_pool,
                                           place_on_canvas, prep_im_for_blob,
                                           read_image_bgr, transfer_dtype)
@@ -74,7 +74,9 @@ def _prep_batch(paths, canvas):
 
 def im_detect(detect_fn, params, im, canvas=None):
     """Single-image detection (demo-style). Returns (dets [N,6], valid)."""
-    canvas = canvas or canvas_hw(cfg.TEST)
+    if canvas is None:
+        buckets = canvas_buckets(cfg.TEST)
+        canvas = buckets[bucket_index(im.shape[0], im.shape[1], buckets)]
     img_shape, s2d = batch_image_shape(1, canvas)
     orig_hw = np.array([[im.shape[0], im.shape[1]]], np.float32)
     prepped, scale = prep_im_for_blob(
@@ -117,7 +119,7 @@ def test_net(model, spec, params, imdb, weights_filename,
                  for _ in range(num_classes)]
     output_dir = output_dir or get_output_dir(imdb, weights_filename)
     os.makedirs(output_dir, exist_ok=True)
-    canvas = canvas_hw(cfg.TEST)
+    buckets = canvas_buckets(cfg.TEST)
     b = batch_size or max(1, int(cfg.TPU.IMS_PER_DEVICE))
     if mesh is not None:
         n_dev = len(mesh.devices.flat)
@@ -130,26 +132,41 @@ def test_net(model, spec, params, imdb, weights_filename,
 
     _t = {'im_detect': Timer(), 'misc': Timer()}
 
+    # group images by orientation bucket so every batch runs on the tight
+    # canvas for its orientation (one compiled program per bucket); a header
+    # probe is enough since uniform resize preserves orientation
+    if len(buckets) > 1:
+        from PIL import Image
+        groups = [[] for _ in buckets]
+        for i in range(num_images):
+            with Image.open(imdb.image_path_at(i)) as img:
+                iw, ih = img.size
+            groups[bucket_index(ih, iw, buckets)].append(i)
+    else:
+        groups = [list(range(num_images))]
+    schedule = [(k, grp[s:s + b])
+                for k, grp in enumerate(groups)
+                for s in range(0, len(grp), b)]
+
     # overlap host-side decode/resize with device compute: batches are
     # prepared by a background thread one step ahead (the reference preps
     # synchronously inside its loop, test.py:152-153)
     import queue
     import threading
-    starts = list(range(0, num_images, b))
     prep_q = queue.Queue(maxsize=2)
 
     def _producer():
-        for start in starts:
-            idx = list(range(start, min(start + b, num_images)))
+        for k, idx in schedule:
             # fixed batch shape: repeat the last image to fill the tail
             pad = b - len(idx)
             paths = [imdb.image_path_at(i) for i in idx] + \
                     [imdb.image_path_at(idx[-1])] * pad
-            prep_q.put((idx, _prep_batch(paths, canvas)))
+            prep_q.put((idx, _prep_batch(paths, buckets[k])))
 
     threading.Thread(target=_producer, daemon=True).start()
 
-    for start in starts:
+    done = 0
+    for _ in schedule:
         _t['im_detect'].tic()
         idx, (images, im_info, orig_hw) = prep_q.get()
         if mesh is not None:
@@ -170,8 +187,9 @@ def test_net(model, spec, params, imdb, weights_filename,
             for c in range(1, num_classes):
                 all_boxes[c][i] = boxes[c]
         _t['misc'].toc()
+        done += len(idx)
         print('im_detect: {:d}/{:d} {:.3f}s {:.3f}s'.format(
-            min(start + b, num_images), num_images,
+            done, num_images,
             _t['im_detect'].average_time, _t['misc'].average_time))
 
     det_file = os.path.join(output_dir, 'detections.pkl')

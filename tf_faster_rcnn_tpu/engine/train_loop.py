@@ -26,12 +26,13 @@ import time
 import jax
 import numpy as np
 
-from tf_faster_rcnn_tpu.config import canvas_hw, cfg
+from tf_faster_rcnn_tpu.config import canvas_buckets, cfg
 from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
 from tf_faster_rcnn_tpu.data.roidb import filter_roidb
 from tf_faster_rcnn_tpu.engine.losses import detection_losses
 from tf_faster_rcnn_tpu.engine.train import (create_train_state,
-                                             lr_schedule, make_train_step)
+                                             lr_schedule, make_train_step,
+                                             scale_recipe)
 from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 from tf_faster_rcnn_tpu.utils import checkpoint as ckpt
 from tf_faster_rcnn_tpu.utils.metrics import MetricsWriter
@@ -58,7 +59,7 @@ class SolverWrapper(object):
         self.spec = spec_from_cfg(self.net_name, self.imdb.num_classes,
                                   "TRAIN")
         self.model = FasterRCNN(self.spec)
-        canvas = canvas_hw(cfg.TRAIN)
+        canvas = canvas_buckets(cfg.TRAIN)[0]  # params are shape-agnostic
         b = int(cfg.TPU.IMS_PER_DEVICE) * (
             len(self.mesh.devices.flat) if self.mesh is not None else 1)
         self.batch_size = b
@@ -81,10 +82,22 @@ class SolverWrapper(object):
                                           self.net_name)
             print(f"Loaded pretrained weights from {self.pretrained_model}")
         self.state = create_train_state(self.spec, params,
-                                        jax.random.PRNGKey(cfg.RNG_SEED + 1))
-        self.lr_fn = lr_schedule(float(cfg.TRAIN.LEARNING_RATE),
+                                        jax.random.PRNGKey(cfg.RNG_SEED + 1),
+                                        batch_size=b)
+        # schedule mapped onto the global batch (linear-scaling rule;
+        # identity at batch 1 — see engine/train.py::scale_recipe)
+        self.recipe = scale_recipe(b)
+        if self.recipe["scale"] > 1:
+            print(f"Batched recipe: global batch {b} -> LR "
+                  f"{self.recipe['learning_rate']:g}, stepsize "
+                  f"{self.recipe['stepsizes']}, warmup "
+                  f"{self.recipe['warmup_steps']} steps (reference units /"
+                  f" {self.recipe['scale']})")
+        self.lr_fn = lr_schedule(self.recipe["learning_rate"],
                                  float(cfg.TRAIN.GAMMA),
-                                 list(cfg.TRAIN.STEPSIZE))
+                                 self.recipe["stepsizes"],
+                                 self.recipe["warmup_steps"],
+                                 self.recipe["warmup_factor"])
         self.step_fn = make_train_step(
             self.model, self.spec,
             weight_decay=float(cfg.TRAIN.WEIGHT_DECAY),
@@ -155,20 +168,24 @@ class SolverWrapper(object):
                                   int(cfg.TRAIN.SNAPSHOT_KEPT))
 
     def train_model(self, max_iters):
+        """``max_iters`` is in REFERENCE units (1 image/iter, the driver
+        scripts' ITERS tables); batched runs execute ceil(max_iters / B)
+        steps over the same image budget (scale_recipe)."""
         self.construct()
-        canvas = canvas_hw(cfg.TRAIN)
+        max_iters = self.recipe["iters"](max_iters)
+        snapshot_iters = self.recipe["iters"](cfg.TRAIN.SNAPSHOT_ITERS)
         # multi-host: every process holds identical iterator state but
-        # materializes only its slice of the global batch
+        # materializes only its slice of the global batch. The layers pick
+        # each batch's canvas from its orientation bucket (config.
+        # canvas_buckets); the jitted step compiles once per bucket.
         pid, pcount = jax.process_index(), jax.process_count()
         self._is_coord = pid == 0
         self.data_layer = RoIDataLayer(self.roidb,
                                        batch_size=self.batch_size,
-                                       canvas_hw=canvas,
                                        process_index=pid,
                                        process_count=pcount)
         self.data_layer_val = RoIDataLayer(self.valroidb, random=True,
                                            batch_size=self.batch_size,
-                                           canvas_hw=canvas,
                                            process_index=pid,
                                            process_count=pcount)
         if int(cfg.TPU.PREFETCH) > 0:
@@ -292,14 +309,14 @@ class SolverWrapper(object):
                        m.get("learning_rate", 0.0)))
                 print('speed: {:.3f}s / iter'.format(timer.average_time))
 
-            if it % cfg.TRAIN.SNAPSHOT_ITERS == 0:
+            if it % snapshot_iters == 0:
                 self.state = state
                 self.snapshot()
 
         if profiling:  # loop ended inside the trace window
             jax.profiler.stop_trace()
         self.state = state
-        if max_iters % cfg.TRAIN.SNAPSHOT_ITERS != 0:
+        if max_iters % snapshot_iters != 0:
             self.snapshot()
         if self._is_coord:
             writer.close()

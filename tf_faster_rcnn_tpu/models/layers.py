@@ -22,7 +22,8 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ConvSame", "FrozenBatchNorm", "max_pool_same", "normal_init"]
+__all__ = ["ConvSame", "FrozenBatchNorm", "max_pool_same", "normal_init",
+           "mask_valid", "shrink_valid"]
 
 
 def normal_init(stddev: float, truncated: bool = False):
@@ -89,3 +90,36 @@ def max_pool_same(x, window: int, stride: int):
     """slim max_pool2d(padding='SAME')."""
     return nn.max_pool(x, (window, window), strides=(stride, stride),
                        padding="SAME")
+
+
+def mask_valid(x, valid_hw):
+    """Zero every activation at cells beyond the per-image valid extent.
+
+    x: [B, H, W, C] on a padded canvas; valid_hw: [B, 2] float cell counts
+    at x's resolution. Returns x with cells (y >= vh or x >= vw) zeroed.
+
+    This is the load-bearing trick behind exact static-canvas semantics:
+    the reference computes each conv on the image's own (dynamic) extent,
+    so its SAME/explicit padding supplies zeros AT THE IMAGE EDGE. On a
+    padded canvas, content instead bleeds outward through every stacked
+    conv (one cell per 3x3) and flows back into the valid region, making
+    activations depend on how much margin the canvas has. Re-zeroing the
+    margin after each layer restores the reference's boundary condition
+    exactly, so the network output is bit-identical for ANY canvas that
+    fits the image — which is what makes orientation-bucketed batching
+    safe. The multiply fuses into the preceding elementwise op (BN/ReLU);
+    measured cost is noise.
+    """
+    b, h, w, _ = x.shape
+    my = jnp.arange(h, dtype=jnp.float32)[None, :] < valid_hw[:, :1]
+    mx = jnp.arange(w, dtype=jnp.float32)[None, :] < valid_hw[:, 1:]
+    m = my[:, :, None, None] & mx[:, None, :, None]
+    return x * m.astype(x.dtype)
+
+
+def shrink_valid(valid_hw, stride: int):
+    """Valid extent after a stride-s SAME conv/pool: ceil(v / s) (the TF
+    output-shape rule; ceil composes, so chained strides give ceil(v/16))."""
+    if stride == 1:
+        return valid_hw
+    return jnp.ceil(valid_hw / float(stride))

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tf_faster_rcnn_tpu.models.layers import ConvSame, FrozenBatchNorm
+from tf_faster_rcnn_tpu.models.layers import (ConvSame, FrozenBatchNorm,
+                                              mask_valid, shrink_valid)
 
 __all__ = ["MobileNetV1Head", "MobileNetV1Tail", "CONV_DEFS", "trainable_filter"]
 
@@ -75,7 +76,10 @@ class _Layers(nn.Module):
     stop_grad_after: int = -1  # layer index; the frozen set is a prefix
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
+        """valid_hw: [B, 2] valid cell extents of x — the margin (nonzero
+        after each BN shift) is re-zeroed after every layer so the depthwise
+        3x3s see the reference's own boundary zeros (layers.mask_valid)."""
         for i in range(self.start, self.stop):
             sep, stride, depth = CONV_DEFS[i]
             d = _depth(depth, self.depth_multiplier)
@@ -88,6 +92,9 @@ class _Layers(nn.Module):
                 x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
                                     name=name + "_bn")(x)
                 x = jnp.minimum(nn.relu(x), 6.0)
+            if valid_hw is not None:
+                valid_hw = shrink_valid(valid_hw, stride)
+                x = mask_valid(x, valid_hw)
             if i == self.stop_grad_after:
                 # frozen prefix (MOBILENET.FIXED_LAYERS): prune its backward
                 # pass instead of compute-and-discard via the optimizer mask
@@ -102,10 +109,11 @@ class MobileNetV1Head(nn.Module):
     fixed_layers: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
+        """valid_hw: [B, 2] per-image pixel extents (im_info units)."""
         return _Layers(0, 12, self.depth_multiplier, dtype=self.dtype,
                        stop_grad_after=self.fixed_layers - 1,
-                       name="base")(x)
+                       name="base")(x, valid_hw)
 
 
 class MobileNetV1Tail(nn.Module):

@@ -187,7 +187,7 @@ class FasterRCNN(nn.Module):
                                                 name="tail")
         raise ValueError(f"unknown backbone {s.backbone}")
 
-    def _proposals(self, anchors, rpn_bbox, fg_scores, im_info):
+    def _proposals(self, anchors, rpn_bbox, fg_scores, im_info, fw):
         """Per-batch proposal selection: decode, clip, NMS (or top-k).
 
         Matches the default E2E TF path (lib/layer_utils/proposal_layer.py:
@@ -195,17 +195,31 @@ class FasterRCNN(nn.Module):
         post_nms_top_n, standard IoU, strict > suppression. The E2E path has
         no pre-NMS cap; ``rpn_pre_nms_top_n`` bounds the static NMS size
         (scores below the cap cannot influence the top post_nms survivors
-        for any realistic cap/post ratio).
+        for any realistic cap/post ratio — proven exactly in
+        tests/test_reference_parity.py's cap-boundary suite).
+
+        The reference builds its anchor grid over the actual image's feature
+        map, ceil(h/16) x ceil(w/16) cells (lib/layer_utils/snippets.py:
+        32-49); our grid spans the padded canvas, so anchors at cells beyond
+        the per-image extent are masked out of selection here — they have no
+        reference counterpart and would otherwise inject padded-margin
+        proposals. ``fw`` is the static canvas feature width (cell decode).
         """
         s = self.spec
+        a = s.num_anchors
+        cell = jnp.arange(anchors.shape[0]) // a
+        cy, cx = cell // fw, cell % fw
 
         def one(deltas, scores, info, i):
             boxes = bbox_transform_inv(anchors, deltas)
             boxes = clip_boxes(boxes, info[:2])
+            avalid = ((cy < jnp.ceil(info[0] / s.feat_stride)) &
+                      (cx < jnp.ceil(info[1] / s.feat_stride)))
             if s.mode == "TEST" and s.test_mode == "top":
                 # proposal_top_layer: plain top-N scores, no NMS
                 # (lib/layer_utils/proposal_top_layer.py:58-83)
                 n = scores.shape[0]
+                masked = jnp.where(avalid, scores, -jnp.inf)
                 if n < s.rpn_top_n:
                     # fewer anchors than RPN_TOP_N: the reference pads by
                     # random choice WITH replacement over all anchors,
@@ -213,12 +227,11 @@ class FasterRCNN(nn.Module):
                     # branch; deterministic key keeps TEST reproducible.
                     key = jax.random.fold_in(jax.random.PRNGKey(0), i)
                     idx = jax.random.randint(key, (s.rpn_top_n,), 0, n)
-                    return (boxes[idx], scores[idx],
-                            jnp.ones((s.rpn_top_n,), bool))
-                top_s, idx = jax.lax.top_k(scores, s.rpn_top_n)
-                return boxes[idx], top_s, jnp.ones((s.rpn_top_n,), bool)
+                    return boxes[idx], scores[idx], avalid[idx]
+                top_s, idx = jax.lax.top_k(masked, s.rpn_top_n)
+                return boxes[idx], scores[idx], top_s > -jnp.inf
             idx, valid = sorted_nms(
-                boxes, scores, jnp.ones_like(scores, bool),
+                boxes, scores, avalid,
                 s.rpn_nms_thresh, s.rpn_post_nms_top_n,
                 plus_one=False, suppress_eq=False,
                 pre_sort_k=min(s.rpn_pre_nms_top_n, scores.shape[0]),
@@ -243,7 +256,11 @@ class FasterRCNN(nn.Module):
         assert hh % stride == 0 and ww % stride == 0, (
             "canvas must be a multiple of the feature stride")
 
-        net_conv = self._head()(image.astype(s.dtype))
+        # per-image extent masking inside the head (layers.mask_valid)
+        # makes the features exactly the reference's unpadded computation,
+        # independent of the canvas — the invariant behind orientation-
+        # bucketed batching and checkpoint-parity eval
+        net_conv = self._head()(image.astype(s.dtype), im_info[:, :2])
         fh, fw = net_conv.shape[1], net_conv.shape[2]
         anchors = jnp.asarray(anchor_grid(
             fh, fw, s.feat_stride, s.anchor_scales, s.anchor_ratios))
@@ -273,7 +290,7 @@ class FasterRCNN(nn.Module):
         # Pallas NMS kernel has no JVP rule, so gradients must stop here
         rois, roi_scores, roi_valid = self._proposals(
             anchors, jax.lax.stop_gradient(rpn_deltas),
-            jax.lax.stop_gradient(fg_prob), im_info)
+            jax.lax.stop_gradient(fg_prob), im_info, fw)
 
         out = {
             "rpn_cls_score": score_pairs,    # [B, N, 2]
@@ -315,8 +332,11 @@ class FasterRCNN(nn.Module):
             max_pool = s.resnet_max_pool
         else:
             max_pool = True
+        # samples past the per-image feature extent extrapolate to 0.0, as
+        # in the reference whose feature map ends exactly there
+        feat_valid = jnp.ceil(im_info[:, :2] / float(s.feat_stride))
         pooled = roi_crop_pool(net_conv, rois, s.feat_stride, s.pooling_size,
-                               max_pool=max_pool)
+                               max_pool=max_pool, valid_hw=feat_valid)
         r = pooled.shape[1]
         pooled = pooled.reshape(b * r, s.pooling_size, s.pooling_size, -1)
 
@@ -348,14 +368,16 @@ class FasterRCNN(nn.Module):
         return out
 
 
-def extract_head(model: FasterRCNN, params, image):
+def extract_head(model: FasterRCNN, params, image, valid_hw=None):
     """Head feature maps only (the reference's Network.extract_head,
     network.py:462-467) — useful for activation-parity checks against
-    converted checkpoints."""
+    converted checkpoints. valid_hw: optional [B, 2] per-image pixel
+    extents for margin masking (None = treat the whole canvas as image)."""
     s = model.spec
     head = build_head(s, name=None)  # standalone module, no parent scope
     head_params = {"params": params["params"]["head"]}
-    return head.apply(head_params, jnp.asarray(image).astype(s.dtype))
+    return head.apply(head_params, jnp.asarray(image).astype(s.dtype),
+                      valid_hw)
 
 
 def trainable_mask(params, spec: ModelSpec):

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tf_faster_rcnn_tpu.models.layers import ConvSame, FrozenBatchNorm
+from tf_faster_rcnn_tpu.models.layers import (ConvSame, FrozenBatchNorm,
+                                              mask_valid, shrink_valid)
 
 __all__ = ["ResNetV1Head", "ResNetV1Tail", "BLOCK_UNITS", "trainable_filter"]
 
@@ -54,7 +55,11 @@ class Bottleneck(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
+        """valid_hw: [B, 2] valid cell extents of x (padded canvas) — the
+        1x1 convs' BN shifts repopulate the margin, so it is re-zeroed
+        before the spatial 3x3 and at the unit output (layers.mask_valid);
+        the input itself is assumed already masked by the caller."""
         depth_out = self.base_depth * 4
         depth_in = x.shape[-1]
         if depth_in == depth_out:
@@ -64,11 +69,16 @@ class Bottleneck(nn.Module):
             shortcut = _ConvBN(depth_out, 1, self.stride, relu=False,
                                dtype=self.dtype, name="shortcut")(x)
         r = _ConvBN(self.base_depth, 1, 1, dtype=self.dtype, name="conv1")(x)
+        if valid_hw is not None:
+            r = mask_valid(r, valid_hw)
         r = _ConvBN(self.base_depth, 3, self.stride, dtype=self.dtype,
                     name="conv2")(r)
         r = _ConvBN(depth_out, 1, 1, relu=False, dtype=self.dtype,
                     name="conv3")(r)
-        return nn.relu(shortcut + r)
+        out = nn.relu(shortcut + r)
+        if valid_hw is not None:
+            out = mask_valid(out, shrink_valid(valid_hw, self.stride))
+        return out
 
 
 class _Block(nn.Module):
@@ -78,11 +88,13 @@ class _Block(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
         for u in range(self.num_units):
             s = self.stride if u == self.num_units - 1 else 1
             x = Bottleneck(self.base_depth, s, dtype=self.dtype,
-                           name=f"unit_{u + 1}")(x)
+                           name=f"unit_{u + 1}")(x, valid_hw)
+            if valid_hw is not None:
+                valid_hw = shrink_valid(valid_hw, s)
         return x
 
 
@@ -135,7 +147,10 @@ class ResNetV1Head(nn.Module):
     fixed_blocks: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
+        """valid_hw: [B, 2] per-image PIXEL extents (im_info units); the
+        margin is re-zeroed stage by stage so features match the reference's
+        unpadded computation on any canvas (layers.mask_valid)."""
         units = BLOCK_UNITS[self.num_layers]
         if self.space_to_depth:
             assert x.shape[-1] == 12, (
@@ -149,8 +164,14 @@ class ResNetV1Head(nn.Module):
                          name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="conv1_bn")(x)
         x = nn.relu(x)
+        if valid_hw is not None:
+            valid_hw = shrink_valid(valid_hw, 2)  # conv1 output cells
+            x = mask_valid(x, valid_hw)
         x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        if valid_hw is not None:
+            valid_hw = shrink_valid(valid_hw, 2)
+            x = mask_valid(x, valid_hw)
         # the freeze set is a strict prefix (stem always + first
         # fixed_blocks blocks, resnet_v1.py:88-113): a stop_gradient at the
         # boundary lets XLA drop the frozen prefix's backward convolutions
@@ -160,7 +181,9 @@ class ResNetV1Head(nn.Module):
         strides = (2, 2, 1)
         for b in range(3):
             x = _Block(_BASE_DEPTHS[b], units[b], strides[b],
-                       dtype=self.dtype, name=f"block{b + 1}")(x)
+                       dtype=self.dtype, name=f"block{b + 1}")(x, valid_hw)
+            if valid_hw is not None:
+                valid_hw = shrink_valid(valid_hw, strides[b])
             if b + 1 <= self.fixed_blocks:
                 x = jax.lax.stop_gradient(x)
         return x

@@ -25,14 +25,24 @@ class VGG16Head(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
+        """valid_hw: [B, 2] per-image pixel extents on the padded canvas;
+        the margin is re-zeroed after every conv (layers.mask_valid) so the
+        output is exactly what the reference computes on the unpadded
+        image, independent of canvas size."""
+        from tf_faster_rcnn_tpu.models.layers import mask_valid, shrink_valid
         for i, (reps, width, name) in enumerate(_CFG):
             for r in range(reps):
                 x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"{name}_{r + 1}")(x)
                 x = nn.relu(x)
+                if valid_hw is not None:
+                    x = mask_valid(x, valid_hw)
             if i < len(_CFG) - 1:  # no pool after conv5
                 x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+                if valid_hw is not None:
+                    valid_hw = shrink_valid(valid_hw, 2)
+                    x = mask_valid(x, valid_hw)
             if name == "conv2":
                 # conv1/conv2 are always frozen; stopping the gradient here
                 # lets XLA prune their (highest-resolution, most expensive)

@@ -26,10 +26,17 @@ import jax.numpy as jnp
 __all__ = ["crop_and_resize", "roi_crop_pool"]
 
 
-def _axis_samples(lo, hi, size: int, crop: int):
+def _axis_samples(lo, hi, size: int, crop: int, limit=None):
     """Per-output-row source coordinate info implementing TF's sampling
     rules: (i0 [R,crop] int32 floor index, frac [R,crop], in_range [R,crop]).
-    Single source of truth for both the einsum and gather crop paths."""
+    Single source of truth for both the einsum and gather crop paths.
+
+    ``limit`` (scalar, may be traced) overrides the in-range upper bound
+    ``size - 1``: on a padded canvas the true image covers only the first
+    ``ceil(im_h/stride)`` feature rows, and the reference — whose feature
+    map IS that size — extrapolates to 0.0 beyond it. Without the override a
+    sample just past the image edge would bilinearly blend padded-margin
+    activations instead (reference network.py:141-157 semantics lost)."""
     s1 = lo * (size - 1.0)
     s2 = hi * (size - 1.0)
     if crop > 1:
@@ -37,17 +44,18 @@ def _axis_samples(lo, hi, size: int, crop: int):
         src = s1[:, None] + jnp.arange(crop, dtype=lo.dtype)[None, :] * step[:, None]
     else:
         src = (0.5 * (s1 + s2))[:, None]
-    in_range = (src >= 0.0) & (src <= size - 1.0)
+    hi_bound = (size - 1.0) if limit is None else limit
+    in_range = (src >= 0.0) & (src <= hi_bound)
     src_c = jnp.clip(src, 0.0, size - 1.0)
     i0 = jnp.floor(src_c)
     return i0.astype(jnp.int32), src_c - i0, in_range
 
 
-def _axis_weights(lo, hi, size: int, crop: int, dtype):
+def _axis_weights(lo, hi, size: int, crop: int, dtype, limit=None):
     """Interpolation matrix W: [R, crop, size] with W[r,i,s] = bilinear weight
     of source row s for output row i of roi r; rows for out-of-range samples
     are all-zero (TF extrapolation-value semantics)."""
-    i0, frac, in_range = _axis_samples(lo, hi, size, crop)
+    i0, frac, in_range = _axis_samples(lo, hi, size, crop, limit)
     i1 = jnp.minimum(i0 + 1, size - 1)
     grid = jnp.arange(size, dtype=jnp.int32)
     one0 = (grid[None, None, :] == i0[:, :, None]).astype(dtype)
@@ -57,11 +65,15 @@ def _axis_weights(lo, hi, size: int, crop: int, dtype):
     return w * in_range[:, :, None].astype(dtype)
 
 
-def crop_and_resize(image, boxes, crop_size, method: str = "einsum"):
+def crop_and_resize(image, boxes, crop_size, method: str = "einsum",
+                    valid_hw=None):
     """TF-exact crop_and_resize for a single image.
 
     image: [H, W, C]; boxes: [R, 4] normalized (y1, x1, y2, x2);
     crop_size: (crop_h, crop_w). Returns [R, crop_h, crop_w, C].
+    valid_hw: optional (vh, vw) scalars — the image's true extent in source
+    rows/cols when ``image`` is a padded canvas; samples past it read as the
+    extrapolation value 0.0 (see _axis_samples).
 
     method='einsum' (default): separable one-hot matmul pair — measured
     14.5 ms vs 20 ms for the 4-corner 'gather' variant on v5e at detection
@@ -74,9 +86,11 @@ def crop_and_resize(image, boxes, crop_size, method: str = "einsum"):
     crop_h, crop_w = crop_size
     dtype = image.dtype
     boxes = boxes.astype(jnp.float32)
+    lim_h = None if valid_hw is None else valid_hw[0] - 1.0
+    lim_w = None if valid_hw is None else valid_hw[1] - 1.0
     if method == "einsum":
-        wy = _axis_weights(boxes[:, 0], boxes[:, 2], h, crop_h, dtype)
-        wx = _axis_weights(boxes[:, 1], boxes[:, 3], w, crop_w, dtype)
+        wy = _axis_weights(boxes[:, 0], boxes[:, 2], h, crop_h, dtype, lim_h)
+        wx = _axis_weights(boxes[:, 1], boxes[:, 3], w, crop_w, dtype, lim_w)
         # contract the axis that leaves the smaller intermediate first —
         # the [R, crop, other_axis, C] tmp dominates HBM traffic
         if crop_h * w <= crop_w * h:
@@ -89,8 +103,8 @@ def crop_and_resize(image, boxes, crop_size, method: str = "einsum"):
         return jnp.einsum("rih,rjhc->rijc", wy, tmp,
                           preferred_element_type=dtype)
 
-    y0, fy, oky = _axis_samples(boxes[:, 0], boxes[:, 2], h, crop_h)
-    x0, fx, okx = _axis_samples(boxes[:, 1], boxes[:, 3], w, crop_w)
+    y0, fy, oky = _axis_samples(boxes[:, 0], boxes[:, 2], h, crop_h, lim_h)
+    x0, fx, okx = _axis_samples(boxes[:, 1], boxes[:, 3], w, crop_w, lim_w)
     y1 = jnp.minimum(y0 + 1, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
     flat = image.reshape(h * w, -1)
@@ -110,14 +124,19 @@ def crop_and_resize(image, boxes, crop_size, method: str = "einsum"):
 
 
 def roi_crop_pool(features, rois, feat_stride: int, pool_size: int,
-                  max_pool: bool):
+                  max_pool: bool, valid_hw=None):
     """The reference's _crop_pool_layer on batched inputs.
 
     features: [B, Hf, Wf, C]; rois: [B, R, 4] in *image* pixel coords
     (x1, y1, x2, y2). Normalizes by (dim-1)*stride exactly as
-    network.py:146-151, then either crops 2*pool_size and 2x2 SAME max-pools
-    (max_pool=True: VGG/MobileNet path, and ResNet under RESNET.MAX_POOL) or
-    crops pool_size directly. Returns [B, R, pool_size, pool_size, C].
+    network.py:146-151 — the (dim-1) cancels inside the sampler, so source
+    coordinates are roi/stride, independent of how large the padded canvas
+    is. valid_hw: optional [B, 2] per-image valid feature extents (cells);
+    samples past them extrapolate to 0.0 exactly as the reference does past
+    its (unpadded) feature map edge. Then either crops 2*pool_size and 2x2
+    SAME max-pools (max_pool=True: VGG/MobileNet path, and ResNet under
+    RESNET.MAX_POOL) or crops pool_size directly. Returns
+    [B, R, pool_size, pool_size, C].
 
     RoI gradients are stopped (the reference stops them too,
     network.py:153).
@@ -130,8 +149,13 @@ def roi_crop_pool(features, rois, feat_stride: int, pool_size: int,
     norm = jnp.stack([r[..., 1] / height, r[..., 0] / width,
                       r[..., 3] / height, r[..., 2] / width], axis=-1)
     size = pool_size * 2 if max_pool else pool_size
-    crops = jax.vmap(lambda f, b: crop_and_resize(f, b, (size, size)))(
-        features, norm)
+    if valid_hw is None:
+        crops = jax.vmap(lambda f, b: crop_and_resize(f, b, (size, size)))(
+            features, norm)
+    else:
+        crops = jax.vmap(
+            lambda f, b, v: crop_and_resize(f, b, (size, size), valid_hw=v))(
+                features, norm, valid_hw)
     if max_pool:
         # 2x2/2 max-pool, SAME padding (even input so SAME == VALID here)
         b, n, ch, cw, c = crops.shape

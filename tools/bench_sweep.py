@@ -23,7 +23,7 @@ def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from tf_faster_rcnn_tpu.config import canvas_hw, cfg, cfg_from_file
+    from tf_faster_rcnn_tpu.config import canvas_buckets, cfg, cfg_from_file
     from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
     from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
 
@@ -31,10 +31,12 @@ def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
     if s2d and net.startswith("res"):
         cfg.TPU.SPACE_TO_DEPTH = True
     if cfg_file:
-        # measure the config's own TEST proposal counts and canvas
+        # measure the config's own TEST proposal counts and the engine's
+        # landscape-bucket canvas (what test_net compiles for landscape
+        # batches — most of VOC/COCO)
         cfg_from_file(cfg_file)
         spec = spec_from_cfg(net, 21, "TEST")
-        canvas = canvas_hw(cfg.TEST)
+        canvas = canvas_buckets(cfg.TEST)[0]
     else:
         spec = dataclasses.replace(
             spec_from_cfg(net, 21, "TEST"),

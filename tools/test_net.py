@@ -86,11 +86,11 @@ def main():
     imdb = get_imdb(args.imdb_name)
     imdb.competition_mode(args.comp_mode)
 
-    from tf_faster_rcnn_tpu.config import canvas_hw
+    from tf_faster_rcnn_tpu.config import canvas_buckets
     spec = spec_from_cfg(args.net, imdb.num_classes, 'TEST')
     model = FasterRCNN(spec)
     params = load_model_params(args.model, model, spec, args.net,
-                               canvas_hw(cfg.TEST))
+                               canvas_buckets(cfg.TEST)[0])
 
     mesh = None
     if args.devices != 1:
