@@ -48,12 +48,18 @@ def tiny_setup(b):
     return spec, model, params, batch
 
 
-def run(global_batch=8, steps=2, local_slice=None):
+def run(global_batch=8, steps=2, local_slice=None, restore_path=None,
+        snapshot_dir=None):
     """Run the DP train steps; returns (final metrics, param checksum).
 
     With local_slice=None the whole global batch is fed from this process
     (single-process mode); otherwise only the slice is fed and
     shard_batch's multi-process path assembles the global array.
+
+    restore_path: restore the TrainState from this snapshot before stepping
+    (cross-process-count restore: the snapshot may come from a run with a
+    DIFFERENT process count). snapshot_dir: after stepping, the coordinator
+    writes a snapshot there; its path is returned as the 4th element.
     """
     import jax
     import numpy as np
@@ -62,10 +68,13 @@ def run(global_batch=8, steps=2, local_slice=None):
                                                  lr_schedule, make_train_step)
     from tf_faster_rcnn_tpu.parallel.mesh import (make_mesh, replicate,
                                                   shard_batch)
+    from tf_faster_rcnn_tpu.utils import checkpoint as ckpt
 
     spec, model, params, batch = tiny_setup(global_batch)
     mesh = make_mesh()
     state = create_train_state(spec, params, jax.random.PRNGKey(3))
+    if restore_path:
+        state = ckpt.restore(state, restore_path)
     step_fn = make_train_step(model, spec, weight_decay=1e-4,
                               mobile_weight_decay=4e-5, donate=False,
                               lr_fn=lr_schedule(0.001, 0.1, [30000]))
@@ -76,16 +85,25 @@ def run(global_batch=8, steps=2, local_slice=None):
         metrics = None
         for _ in range(steps):
             state_r, metrics = step_fn(state_r, shard_batch(mesh, local))
+    host_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), state_r,
+        is_leaf=lambda x: hasattr(x, "shape"))
+    snap_path = None
+    if snapshot_dir and jax.process_index() == 0:
+        snap_path, _ = ckpt.snapshot(snapshot_dir, "worker", host_state,
+                                     data_state={})
     leaves = jax.tree_util.tree_leaves(jax.device_get(state_r.params))
     checksum = float(sum(np.abs(np.asarray(x, np.float64)).sum()
                          for x in leaves))
     return ({k: float(v) for k, v in metrics.items()}, checksum,
-            int(jax.device_get(state_r.step)))
+            int(jax.device_get(state_r.step)), snap_path)
 
 
 def main():
     pid, nprocs, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
+    # optional 5th arg: JSON {"steps", "restore", "snapshot_dir"}
+    opts = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {}
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -96,12 +114,16 @@ def main():
     assert jax.process_count() == nprocs
     assert len(jax.devices()) == 4 * nprocs
 
-    metrics, checksum, step = run(global_batch=8, steps=2,
-                                  local_slice=dist.local_slice(8))
+    metrics, checksum, step, snap = run(
+        global_batch=8, steps=int(opts.get("steps", 2)),
+        local_slice=dist.local_slice(8),
+        restore_path=opts.get("restore"),
+        snapshot_dir=opts.get("snapshot_dir"))
     if dist.on_coordinator():
         with open(outfile, "w") as f:
             json.dump({"total_loss": metrics["total_loss"],
-                       "checksum": checksum, "step": step}, f)
+                       "checksum": checksum, "step": step,
+                       "snapshot": snap}, f)
     print(f"worker {pid} done", flush=True)
 
 

@@ -75,23 +75,21 @@ def test_loader_process_slicing_divisibility():
                      canvas_hw=(32, 32), process_index=0, process_count=2)
 
 
-def test_two_process_dp_matches_single_process(tmp_path):
-    """Spawn 2 real processes; gloo collectives over a global 8-device mesh
-    must produce the same training result as one process with 8 devices."""
-    sys.path.insert(0, str(TESTS_DIR))
-    import multihost_worker
-
+def _spawn_workers(nprocs, tmp_path, tag, opts=None):
+    """Launch nprocs real multihost_worker processes; returns the
+    coordinator's result json."""
     port = _free_port()
-    out = tmp_path / "proc0.json"
+    out = tmp_path / f"{tag}.json"
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO_ROOT}:{env.get('PYTHONPATH', '')}"
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+    argv_tail = [json.dumps(opts)] if opts else []
     procs = [
         subprocess.Popen(
             [sys.executable, str(TESTS_DIR / "multihost_worker.py"),
-             str(pid), "2", str(port), str(out)],
+             str(pid), str(nprocs), str(port), str(out)] + argv_tail,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     logs = []
     for p in procs:
@@ -100,13 +98,59 @@ def test_two_process_dp_matches_single_process(tmp_path):
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
     assert out.exists(), "coordinator wrote no result"
-    got = json.loads(out.read_text())
+    return json.loads(out.read_text())
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    """Spawn 2 real processes; gloo collectives over a global 8-device mesh
+    must produce the same training result as one process with 8 devices."""
+    sys.path.insert(0, str(TESTS_DIR))
+    import multihost_worker
+
+    got = _spawn_workers(2, tmp_path, "proc0")
 
     # single-process reference on the parent's 8 virtual devices
-    ref_metrics, ref_checksum, ref_step = multihost_worker.run(
+    ref_metrics, ref_checksum, ref_step, _ = multihost_worker.run(
         global_batch=8, steps=2, local_slice=None)
 
     assert got["step"] == ref_step == 2
     np.testing.assert_allclose(got["total_loss"],
                                ref_metrics["total_loss"], rtol=1e-5)
     np.testing.assert_allclose(got["checksum"], ref_checksum, rtol=1e-6)
+
+
+def test_cross_process_count_restore(tmp_path):
+    """VERDICT r1 item 8: a snapshot from a 1-process run restores into a
+    2-process run (and vice versa) with identical subsequent training."""
+    sys.path.insert(0, str(TESTS_DIR))
+    import multihost_worker
+
+    # 1-process: 2 steps, snapshot at step 2
+    _, _, step1, snap1 = multihost_worker.run(
+        global_batch=8, steps=2, snapshot_dir=str(tmp_path / "snap1"))
+    assert step1 == 2 and snap1
+
+    # reference continuation: 1-process restore + 2 more steps
+    ref_m, ref_c, ref_step, _ = multihost_worker.run(
+        global_batch=8, steps=2, restore_path=snap1)
+    assert ref_step == 4
+
+    # 1-proc snapshot -> 2-process continuation
+    got = _spawn_workers(2, tmp_path, "restore_2p",
+                         {"steps": 2, "restore": snap1})
+    assert got["step"] == 4
+    np.testing.assert_allclose(got["total_loss"], ref_m["total_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(got["checksum"], ref_c, rtol=1e-6)
+
+    # 2-process run writes the snapshot -> 1-process continuation
+    got2 = _spawn_workers(2, tmp_path, "snap_2p",
+                          {"steps": 2,
+                           "snapshot_dir": str(tmp_path / "snap2")})
+    assert got2["snapshot"]
+    m3, c3, step3, _ = multihost_worker.run(
+        global_batch=8, steps=2, restore_path=got2["snapshot"])
+    assert step3 == 4
+    np.testing.assert_allclose(m3["total_loss"], ref_m["total_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(c3, ref_c, rtol=1e-6)
