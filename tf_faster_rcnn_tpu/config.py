@@ -162,6 +162,10 @@ def _default_cfg() -> AttrDict:
     # at the cost of one extra compile. Ignored when TPU.CANVAS_SIZE pins an
     # explicit single canvas.
     C.TPU.BUCKETING = True
+    # Host threads decoding/resizing eval batches ahead of the device
+    # (engine/test_engine.py); cv2 releases the GIL so threads scale on a
+    # many-core TPU-VM. The consumption window is threads + 2 batches.
+    C.TPU.EVAL_PREFETCH_THREADS = 4
     # Cap on boxes entering RPN NMS (sorted by score). The reference E2E path
     # has no pre-NMS cap (lib/layer_utils/proposal_layer.py:72); a static cap
     # is required for fixed shapes. 0 = use RPN_PRE_NMS_TOP_N.

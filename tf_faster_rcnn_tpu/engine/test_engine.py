@@ -149,26 +149,33 @@ def test_net(model, spec, params, imdb, weights_filename,
                 for s in range(0, len(grp), b)]
 
     # overlap host-side decode/resize with device compute: batches are
-    # prepared by a background thread one step ahead (the reference preps
-    # synchronously inside its loop, test.py:152-153)
-    import queue
-    import threading
-    prep_q = queue.Queue(maxsize=2)
+    # prepared by a pool of worker threads (cv2 decode/resize release the
+    # GIL) consumed strictly in schedule order through a bounded window, so
+    # one slow decode cannot stall the device behind an idle pipeline (the
+    # reference preps synchronously inside its loop, test.py:152-153)
+    from concurrent.futures import ThreadPoolExecutor
+    n_workers = max(1, int(cfg.TPU.EVAL_PREFETCH_THREADS))
+    window = n_workers + 2
 
-    def _producer():
-        for k, idx in schedule:
-            # fixed batch shape: repeat the last image to fill the tail
-            pad = b - len(idx)
-            paths = [imdb.image_path_at(i) for i in idx] + \
-                    [imdb.image_path_at(idx[-1])] * pad
-            prep_q.put((idx, _prep_batch(paths, buckets[k])))
+    def _prep(item):
+        k, idx = item
+        # fixed batch shape: repeat the last image to fill the tail
+        pad = b - len(idx)
+        paths = [imdb.image_path_at(i) for i in idx] + \
+                [imdb.image_path_at(idx[-1])] * pad
+        return idx, _prep_batch(paths, buckets[k])
 
-    threading.Thread(target=_producer, daemon=True).start()
+    pool = ThreadPoolExecutor(max_workers=n_workers)
+    pending = [pool.submit(_prep, item) for item in schedule[:window]]
+    next_submit = window
 
     done = 0
     for _ in schedule:
         _t['im_detect'].tic()
-        idx, (images, im_info, orig_hw) = prep_q.get()
+        idx, (images, im_info, orig_hw) = pending.pop(0).result()
+        if next_submit < len(schedule):
+            pending.append(pool.submit(_prep, schedule[next_submit]))
+            next_submit += 1
         if mesh is not None:
             from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
             sharded = shard_batch(mesh, {"image": images, "im_info": im_info,
@@ -192,6 +199,7 @@ def test_net(model, spec, params, imdb, weights_filename,
             done, num_images,
             _t['im_detect'].average_time, _t['misc'].average_time))
 
+    pool.shutdown(wait=False)
     det_file = os.path.join(output_dir, 'detections.pkl')
     with open(det_file, 'wb') as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)

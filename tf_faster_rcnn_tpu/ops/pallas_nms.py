@@ -204,7 +204,12 @@ def pallas_batched_nms_keep(boxes, valid, thresh, *, plus_one=False,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = -(-n0 // 8) * 8            # f32 sublane multiple
-    g = -(-g0 // 128) * 128        # lane multiple
+    # instances are independent, so the lane dimension tiles freely: one
+    # native lane width per grid step keeps the 7 [N, GTILE] f32 buffers
+    # (5 in + out + scratch) far under the 16 MB scoped-VMEM limit at any
+    # realistic N (COCO batch 8 x 80 classes x 1000 boxes OOMs untiled)
+    gtile = 128
+    g = -(-g0 // gtile) * gtile
     b = jnp.pad(boxes.astype(jnp.float32), ((0, g - g0), (0, n - n0), (0, 0)))
     coords = jnp.transpose(b, (2, 1, 0))          # [4, N, G]
     valid_f = jnp.pad(valid.astype(jnp.float32),
@@ -213,12 +218,14 @@ def pallas_batched_nms_keep(boxes, valid, thresh, *, plus_one=False,
     kernel = functools.partial(
         _batched_nms_kernel, n=n, thresh=float(thresh), plus_one=plus_one,
         suppress_eq=suppress_eq)
+    spec = pl.BlockSpec((n, gtile), lambda i: (0, i))
     keep = pl.pallas_call(
         kernel,
+        grid=(g // gtile,),
         out_shape=jax.ShapeDtypeStruct((n, g), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, g), jnp.float32)],
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((n, gtile), jnp.float32)],
         interpret=interpret,
     )(coords[0], coords[1], coords[2], coords[3], valid_f)
     return keep.T[:g0, :n0] > 0.0

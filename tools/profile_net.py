@@ -9,6 +9,8 @@ The train-step analog is built into the train loop (TPU.PROFILE_DIR).
 
 Usage: python tools/profile_net.py --dir /tmp/frcnn_trace [--net res101]
        [--batch 8] [--steps 3] [--canvas 608,1024] [--s2d]
+       [--cfg experiments/cfgs/X.yml]   # config canvas/proposal counts
+                                        # + full on-device postprocess
 """
 
 import argparse
@@ -28,6 +30,10 @@ def main():
     ap.add_argument("--canvas", default="608,1024")
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth host input (ResNet backbones)")
+    ap.add_argument("--cfg", default=None,
+                    help="yml config; its TEST canvas/proposal counts and "
+                         "the full detect+postprocess program (bench_sweep "
+                         "workload)")
     args = ap.parse_args()
 
     import jax
@@ -37,10 +43,16 @@ def main():
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if args.s2d:
         cfg.TPU.SPACE_TO_DEPTH = True
-    h, w = (int(x) for x in args.canvas.split(","))
-    spec = dataclasses.replace(
-        spec_from_cfg(args.net, 21, "TEST"),
-        rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
+    if args.cfg:
+        from tf_faster_rcnn_tpu.config import canvas_buckets, cfg_from_file
+        cfg_from_file(args.cfg)
+        spec = spec_from_cfg(args.net, 21, "TEST")
+        h, w = canvas_buckets(cfg.TEST)[0]
+    else:
+        h, w = (int(x) for x in args.canvas.split(","))
+        spec = dataclasses.replace(
+            spec_from_cfg(args.net, 21, "TEST"),
+            rpn_pre_nms_top_n=6000, rpn_post_nms_top_n=300)
     model = FasterRCNN(spec)
 
     rng = np.random.RandomState(0)
@@ -48,11 +60,27 @@ def main():
     if cfg.TPU.SPACE_TO_DEPTH:
         from tf_faster_rcnn_tpu.data.blob import space_to_depth
         image = np.stack([space_to_depth(im) for im in image])
-    im_info = np.tile(np.array([[600.0, 1000.0, 1.6]], np.float32),
+    ih, iw = float(h * 600 // 608), float(w * 1000 // 1024)
+    im_info = np.tile(np.array([[ih, iw, 1.6]], np.float32),
                       (args.batch, 1))
 
     params = model.init(jax.random.PRNGKey(0), image[:1], im_info[:1])
-    fwd = jax.jit(model.apply)
+    if args.cfg:
+        from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
+        orig_hw = np.tile(np.array([[ih / 1.6, iw / 1.6]], np.float32),
+                          (args.batch, 1))
+        orig_hw = jax.device_put(orig_hw)
+
+        def run(params, image, im_info):
+            out = model.apply(params, image, im_info)
+            return postprocess_detections(
+                out["rois"], out["roi_valid"], out["cls_prob"],
+                out["bbox_pred"], im_info, orig_hw, num_classes=21,
+                max_per_image=int(cfg.TPU.MAX_PER_IMAGE),
+                nms_thresh=float(cfg.TEST.NMS))
+        fwd = jax.jit(run)
+    else:
+        fwd = jax.jit(model.apply)
     image, im_info = jax.device_put(image), jax.device_put(im_info)
     jax.block_until_ready(fwd(params, image, im_info))  # compile outside trace
 
