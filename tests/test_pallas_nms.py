@@ -69,3 +69,20 @@ def test_batched_kernel_matches_per_instance(rng):
                                           plus_one=plus_one,
                                           use_pallas=False))
             np.testing.assert_array_equal(kp[g], kj)
+
+
+def test_batched_kernel_grid_tiled_lanes(rng):
+    """G > 128 instances spans multiple lane-tile grid steps (the COCO
+    postprocess shape class that OOMed scoped VMEM untiled); every grid
+    step's block must match the per-instance oracle."""
+    from tf_faster_rcnn_tpu.ops.pallas_nms import pallas_batched_nms_keep
+    G, N = 300, 64
+    boxes = np.stack([_sorted_boxes(rng, N) for _ in range(G)])
+    valid = rng.rand(G, N) > 0.1
+    kp = np.asarray(pallas_batched_nms_keep(boxes, valid, 0.4,
+                                            interpret=True))
+    # spot-check instances from the first, middle, and last lane tiles
+    for g in [0, 127, 128, 200, 255, 256, 299]:
+        kj = np.asarray(nms_keep_mask(boxes[g], valid[g], 0.4,
+                                      use_pallas=False))
+        np.testing.assert_array_equal(kp[g], kj, err_msg=f"instance {g}")
