@@ -166,40 +166,46 @@ def test_net(model, spec, params, imdb, weights_filename,
         return idx, _prep_batch(paths, buckets[k])
 
     pool = ThreadPoolExecutor(max_workers=n_workers)
-    pending = [pool.submit(_prep, item) for item in schedule[:window]]
-    next_submit = window
+    try:
+        pending = [pool.submit(_prep, item) for item in schedule[:window]]
+        next_submit = window
 
-    done = 0
-    for _ in schedule:
-        _t['im_detect'].tic()
-        idx, (images, im_info, orig_hw) = pending.pop(0).result()
-        if next_submit < len(schedule):
-            pending.append(pool.submit(_prep, schedule[next_submit]))
-            next_submit += 1
-        if mesh is not None:
-            from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
-            sharded = shard_batch(mesh, {"image": images, "im_info": im_info,
-                                         "orig_hw": orig_hw})
-            with mesh:
-                det, dv = detect_fn(params, sharded["image"],
-                                    sharded["im_info"], sharded["orig_hw"])
-        else:
-            det, dv = detect_fn(params, images, im_info, orig_hw)
-        det, dv = np.asarray(det), np.asarray(dv)
-        _t['im_detect'].toc()
+        done = 0
+        for _ in schedule:
+            _t['im_detect'].tic()
+            idx, (images, im_info, orig_hw) = pending.pop(0).result()
+            if next_submit < len(schedule):
+                pending.append(pool.submit(_prep, schedule[next_submit]))
+                next_submit += 1
+            if mesh is not None:
+                from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
+                sharded = shard_batch(mesh, {"image": images, "im_info": im_info,
+                                             "orig_hw": orig_hw})
+                with mesh:
+                    det, dv = detect_fn(params, sharded["image"],
+                                        sharded["im_info"], sharded["orig_hw"])
+            else:
+                det, dv = detect_fn(params, images, im_info, orig_hw)
+            det, dv = np.asarray(det), np.asarray(dv)
+            _t['im_detect'].toc()
 
-        _t['misc'].tic()
-        for j, i in enumerate(idx):
-            boxes = _slab_to_all_boxes(det[j], dv[j], num_classes)
-            for c in range(1, num_classes):
-                all_boxes[c][i] = boxes[c]
-        _t['misc'].toc()
-        done += len(idx)
-        print('im_detect: {:d}/{:d} {:.3f}s {:.3f}s'.format(
-            done, num_images,
-            _t['im_detect'].average_time, _t['misc'].average_time))
-
-    pool.shutdown(wait=False)
+            _t['misc'].tic()
+            for j, i in enumerate(idx):
+                boxes = _slab_to_all_boxes(det[j], dv[j], num_classes)
+                for c in range(1, num_classes):
+                    all_boxes[c][i] = boxes[c]
+            _t['misc'].toc()
+            # reference cadence: one line per image (test.py:158-160); times are
+            # the batch averages since detection is batched here
+            for _ in idx:
+                done += 1
+                print('im_detect: {:d}/{:d} {:.3f}s {:.3f}s'.format(
+                    done, num_images,
+                    _t['im_detect'].average_time, _t['misc'].average_time))
+    finally:
+        # cancel queued prep work on any exit path; non-daemon workers would
+        # otherwise outlive an eval that raised mid-loop
+        pool.shutdown(wait=False, cancel_futures=True)
     det_file = os.path.join(output_dir, 'detections.pkl')
     with open(det_file, 'wb') as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
