@@ -1,63 +1,38 @@
 #!/bin/bash
-# Checkpoint-migration driver (reference experiments/scripts/convert_vgg16.sh
-# parity): maps DATASET to the released-snapshot naming and converts a
-# TF/slim variable dict (.npz/.pkl export of the checkpoint) into the params
-# msgpack that tools/{test_net,demo}.py consume.
+# Checkpoint-migration driver (covers the reference's convert_vgg16.sh
+# surface): converts a released/trained TF checkpoint — a Saver-V2 .ckpt
+# bundle read natively by utils/tf_bundle.py, or a .npz/.pkl variable-dict
+# export — into the params msgpack that tools/{test_net,demo}.py consume,
+# placed where the eval driver expects the final snapshot.
 #
-# Usage: ./experiments/scripts/convert_weights.sh DATASET NET SRC_VAR_DICT [extra --set args]
-# DATASET in {pascal_voc, pascal_voc_0712, coco}
-
+#   ./experiments/scripts/convert_weights.sh DATASET NET SRC [--set overrides...]
+set -euo pipefail
 set -x
-set -e
 
-export PYTHONUNBUFFERED="True"
+export PYTHONUNBUFFERED=True
 
-DATASET=$1
-NET=$2
-SRC=$3
+here="$(cd "$(dirname "$0")" && pwd)"
+. "$here/recipes.sh"
 
-array=( $@ )
-len=${#array[@]}
-EXTRA_ARGS=${array[@]:3:$len}
+[ $# -ge 3 ] || { echo "usage: $0 DATASET NET SRC_CKPT_OR_DICT [extra --set args]" >&2; exit 2; }
+dataset="$1"; net="$2"; src="$3"; shift 3
+extra=("$@")
 
-case ${DATASET} in
-  pascal_voc)
-    TRAIN_IMDB="voc_2007_trainval"
-    ITERS=70000
-    ANCHORS="[8,16,32]"
-    RATIOS="[0.5,1,2]"
-    NUM_CLASSES=21
-    ;;
-  pascal_voc_0712)
-    TRAIN_IMDB="voc_2007_trainval+voc_2012_trainval"
-    ITERS=110000
-    ANCHORS="[8,16,32]"
-    RATIOS="[0.5,1,2]"
-    NUM_CLASSES=21
-    ;;
-  coco)
-    TRAIN_IMDB="coco_2014_train+coco_2014_valminusminival"
-    ITERS=490000
-    ANCHORS="[4,8,16,32]"
-    RATIOS="[0.5,1,2]"
-    NUM_CLASSES=81
-    ;;
-  *)
-    echo "No dataset given"
-    exit
-    ;;
-esac
+recipe "$dataset"
 
-OUT_DIR="output/${NET}/${TRAIN_IMDB}/default"
-NET_FINAL="${OUT_DIR}/${NET}_faster_rcnn_iter_${ITERS}.msgpack"
-mkdir -p ${OUT_DIR}
+rundir="output/${net}/${train_imdb}/default"
+dst="$rundir/${net}_faster_rcnn_iter_${iters}.msgpack"
+mkdir -p "$rundir"
 
-if [ ! -f ${NET_FINAL} ]; then
-  time python ./tools/convert_weights.py \
-    --net ${NET} \
-    --src ${SRC} \
-    --dst ${NET_FINAL} \
-    --num-classes ${NUM_CLASSES} \
-    --cfg experiments/cfgs/${NET}.yml \
-    --set ANCHOR_SCALES ${ANCHORS} ANCHOR_RATIOS ${RATIOS} ${EXTRA_ARGS}
+if [ -f "$dst" ]; then
+  echo "already converted: $dst"
+  exit 0
 fi
+
+time python ./tools/convert_weights.py \
+  --net "$net" \
+  --src "$src" \
+  --dst "$dst" \
+  --num-classes "$num_classes" \
+  --cfg "experiments/cfgs/${net}.yml" \
+  --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" "${extra[@]}"

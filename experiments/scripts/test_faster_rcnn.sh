@@ -1,68 +1,44 @@
 #!/bin/bash
-# Eval driver (reference experiments/scripts/test_faster_rcnn.sh parity).
-# Usage: ./experiments/scripts/test_faster_rcnn.sh DEVICES DATASET NET [extra]
-
+# Eval experiment driver (covers the reference's
+# experiments/scripts/test_faster_rcnn.sh surface): resolves the final
+# snapshot the train driver produced for DATASET/NET[/tag] and runs
+# tools/test_net.py on the recipe's test imdb.
+#
+#   ./experiments/scripts/test_faster_rcnn.sh DEVICES DATASET NET [--set overrides...]
+set -euo pipefail
 set -x
-set -e
 
-export PYTHONUNBUFFERED="True"
+export PYTHONUNBUFFERED=True
 
-DEVICES=$1
-DATASET=$2
-NET=$3
+here="$(cd "$(dirname "$0")" && pwd)"
+. "$here/recipes.sh"
 
-array=( $@ )
-len=${#array[@]}
-EXTRA_ARGS=${array[@]:3:$len}
-EXTRA_ARGS_SLUG=${EXTRA_ARGS// /_}
+[ $# -ge 3 ] || { echo "usage: $0 DEVICES DATASET NET [extra --set args]" >&2; exit 2; }
+devices="$1"; dataset="$2"; net="$3"; shift 3
+extra=("$@")
+tag="$(slug "${extra[@]}")"
 
-case ${DATASET} in
-  pascal_voc)
-    TRAIN_IMDB="voc_2007_trainval"
-    TEST_IMDB="voc_2007_test"
-    ITERS=70000
-    ANCHORS="[8,16,32]"
-    RATIOS="[0.5,1,2]"
-    ;;
-  pascal_voc_0712)
-    TRAIN_IMDB="voc_2007_trainval+voc_2012_trainval"
-    TEST_IMDB="voc_2007_test"
-    ITERS=110000
-    ANCHORS="[8,16,32]"
-    RATIOS="[0.5,1,2]"
-    ;;
-  coco)
-    TRAIN_IMDB="coco_2014_train+coco_2014_valminusminival"
-    TEST_IMDB="coco_2014_minival"
-    ITERS=490000
-    ANCHORS="[4,8,16,32]"
-    RATIOS="[0.5,1,2]"
-    ;;
-  *)
-    echo "No dataset given"
-    exit
-    ;;
-esac
+recipe "$dataset"
 
-mkdir -p experiments/logs
-LOG="experiments/logs/test_${NET}_${TRAIN_IMDB}_${EXTRA_ARGS_SLUG}.txt.`date +'%Y-%m-%d_%H-%M-%S'`"
-exec &> >(tee -a "$LOG")
-echo Logging output to "$LOG"
+start_log "test_${net}_${train_imdb}${tag:+_$tag}"
 
-PREFIX=${NET}_faster_rcnn
-if [[ ${NET} == "res101" || ${NET} == "res50" || ${NET} == "res152" ]]; then
-  PREFIX=${NET}_faster_rcnn
-fi
-
-if [[ ! -z ${EXTRA_ARGS_SLUG} ]]; then
-  NET_FINAL=output/${NET}/${TRAIN_IMDB}/${EXTRA_ARGS_SLUG}/${PREFIX}_iter_${ITERS}.msgpack
-else
-  NET_FINAL=output/${NET}/${TRAIN_IMDB}/default/${PREFIX}_iter_${ITERS}.msgpack
-fi
+# Resolve the final snapshot by NUMERIC iter (batched runs divide the image
+# budget by the global batch, so the step count in the filename depends on
+# DEVICES — never assume iter_${iters}, and never sort lexically).
+rundir="output/${net}/${train_imdb}/${tag:-default}"
+snapshot="$(python - "$rundir" "$net" <<'PY'
+import re, sys, glob, os
+rundir, net = sys.argv[1], sys.argv[2]
+snaps = glob.glob(os.path.join(rundir, f"{net}_faster_rcnn_iter_*.msgpack"))
+if not snaps:
+    sys.exit(f"no snapshots under {rundir}")
+print(max(snaps, key=lambda p: int(re.search(r"_iter_(\d+)", p).group(1))))
+PY
+)"
 
 time python ./tools/test_net.py \
-  --imdb ${TEST_IMDB} \
-  --model ${NET_FINAL} \
-  --cfg experiments/cfgs/${NET}.yml \
-  --net ${NET} \
-  --set ANCHOR_SCALES ${ANCHORS} ANCHOR_RATIOS ${RATIOS} ${EXTRA_ARGS}
+  --imdb "$test_imdb" \
+  --model "$snapshot" \
+  --cfg "experiments/cfgs/${net}.yml" \
+  --net "$net" \
+  --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" "${extra[@]}"
