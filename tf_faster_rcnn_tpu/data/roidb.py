@@ -1,54 +1,61 @@
 """roidb enrichment and filtering.
 
-Parity with /root/reference/lib/roi_data_layer/roidb.py:19-49 (add image
-path/size and per-roi max class/overlap) and lib/model/train_val.py:338-360
-(drop images with neither usable fg nor bg rois).
+Behavioral coverage of /root/reference/lib/roi_data_layer/roidb.py:19-49
+(attach image path/size and per-roi argmax class/overlap) and
+lib/model/train_val.py:338-360 (drop images with neither usable fg nor bg
+rois). Flip-augmented entries (index >= num_images) share their base
+image's size, and COCO entries arrive with width/height already present in
+the annotation record, so sizes are only probed from disk where needed.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from PIL import Image
 
 from tf_faster_rcnn_tpu.config import cfg
 
 
+def _image_size(path):
+    from PIL import Image
+    with Image.open(path) as im:
+        return im.size
+
+
 def prepare_roidb(imdb):
-    """Enrich the imdb's roidb with image metadata and max-overlap stats."""
-    roidb = imdb.roidb
-    if not (imdb.name.startswith('coco')):
-        sizes = [Image.open(imdb.image_path_at(i)).size
-                 for i in range(imdb.num_images)]
-    for i in range(len(imdb.image_index)):
-        roidb[i]['image'] = imdb.image_path_at(i)
-        if not (imdb.name.startswith('coco')):
-            roidb[i]['width'] = sizes[i % imdb.num_images][0]
-            roidb[i]['height'] = sizes[i % imdb.num_images][1]
-        gt_overlaps = roidb[i]['gt_overlaps'].toarray()
-        max_overlaps = gt_overlaps.max(axis=1)
-        max_classes = gt_overlaps.argmax(axis=1)
-        roidb[i]['max_classes'] = max_classes
-        roidb[i]['max_overlaps'] = max_overlaps
-        # sanity: background rois have overlap 0, foreground > 0
-        zero_inds = np.where(max_overlaps == 0)[0]
-        assert all(max_classes[zero_inds] == 0)
-        nonzero_inds = np.where(max_overlaps > 0)[0]
-        assert all(max_classes[nonzero_inds] != 0)
+    """Attach image metadata and max-overlap stats to every roidb entry."""
+    n_base = imdb.num_images
+    probe_sizes = not imdb.name.startswith("coco")
+    sizes = ([_image_size(imdb.image_path_at(i)) for i in range(n_base)]
+             if probe_sizes else None)
+
+    for i, entry in enumerate(imdb.roidb):
+        entry["image"] = imdb.image_path_at(i)
+        if sizes is not None:
+            entry["width"], entry["height"] = sizes[i % n_base]
+
+        overlaps = entry["gt_overlaps"].toarray()
+        entry["max_overlaps"] = overlaps.max(axis=1)
+        entry["max_classes"] = overlaps.argmax(axis=1)
+
+        # invariant: zero overlap <=> assigned to background class 0
+        is_bg = entry["max_overlaps"] == 0
+        if not (entry["max_classes"][is_bg] == 0).all():
+            raise AssertionError("background roi with nonzero class")
+        if not (entry["max_classes"][~is_bg] != 0).all():
+            raise AssertionError("foreground roi mapped to class 0")
+
+
+def _has_usable_rois(entry) -> bool:
+    ov = entry["max_overlaps"]
+    any_fg = bool((ov >= cfg.TRAIN.FG_THRESH).any())
+    any_bg = bool(((ov < cfg.TRAIN.BG_THRESH_HI)
+                   & (ov >= cfg.TRAIN.BG_THRESH_LO)).any())
+    return any_fg or any_bg
 
 
 def filter_roidb(roidb):
-    """Remove entries that have no usable RoIs (train_val.py:338-360)."""
-
-    def is_valid(entry):
-        overlaps = entry['max_overlaps']
-        fg_inds = np.where(overlaps >= cfg.TRAIN.FG_THRESH)[0]
-        bg_inds = np.where((overlaps < cfg.TRAIN.BG_THRESH_HI)
-                           & (overlaps >= cfg.TRAIN.BG_THRESH_LO))[0]
-        return len(fg_inds) > 0 or len(bg_inds) > 0
-
-    num = len(roidb)
-    filtered_roidb = [entry for entry in roidb if is_valid(entry)]
-    num_after = len(filtered_roidb)
-    print('Filtered {} roidb entries: {} -> {}'.format(
-        num - num_after, num, num_after))
-    return filtered_roidb
+    """Drop entries with no sampleable fg or bg roi (train_val.py:338-360)."""
+    kept = [e for e in roidb if _has_usable_rois(e)]
+    print("Filtered {} roidb entries: {} -> {}".format(
+        len(roidb) - len(kept), len(roidb), len(kept)))
+    return kept

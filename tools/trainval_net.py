@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Train a Faster R-CNN network on a region-of-interest database.
+"""Train (and snapshot) a Faster R-CNN detector on one or more imdbs.
 
-CLI parity with the reference tool (/root/reference/tools/trainval_net.py:
-25-139): --cfg --weight --imdb --imdbval --iters --tag --net --set, with
-'+'-joined imdb names for combined training sets. TPU addition: --devices
-to train data-parallel over a mesh.
+Covers the reference tool's CLI surface (/root/reference/tools/
+trainval_net.py:25-139): --cfg --weight --imdb --imdbval --iters --tag
+--net --set, with '+'-joined imdb names training on the concatenated
+roidbs. TPU additions: --devices (data-parallel mesh size, 0 = all
+available) and the multi-host flags (--coordinator/--num-procs/--proc-id).
 """
 
 import argparse
@@ -14,81 +15,78 @@ import sys
 import _init_paths  # noqa: F401
 import numpy as np
 
-from tf_faster_rcnn_tpu.config import (cfg, cfg_from_file, cfg_from_list,
-                                       get_output_dir, get_output_tb_dir)
-from tf_faster_rcnn_tpu.datasets.factory import get_imdb
-from tf_faster_rcnn_tpu.engine.train_loop import get_training_roidb, train_net
-
-NETS = ('vgg16', 'res50', 'res101', 'res152', 'mobile')
+NETS = ("vgg16", "res50", "res101", "res152", "mobile")
 
 
-def parse_args():
-    parser = argparse.ArgumentParser(
-        description='Train a Faster R-CNN network')
-    parser.add_argument('--cfg', dest='cfg_file', default=None,
-                        help='optional config file')
-    parser.add_argument('--weight', dest='weight', default=None,
-                        help='initialize with pretrained model weights '
-                             '(slim var dict .npz/.pkl)')
-    parser.add_argument('--imdb', dest='imdb_name',
-                        default='voc_2007_trainval',
-                        help='dataset to train on')
-    parser.add_argument('--imdbval', dest='imdbval_name',
-                        default='voc_2007_test',
-                        help='dataset to validate on')
-    parser.add_argument('--iters', dest='max_iters', default=70000, type=int)
-    parser.add_argument('--tag', dest='tag', default=None,
-                        help='tag of the model')
-    parser.add_argument('--net', dest='net', default='res50', choices=NETS)
-    parser.add_argument('--devices', dest='devices', default=0, type=int,
-                        help='data-parallel devices (0 = all available)')
-    parser.add_argument('--coordinator', dest='coordinator', default=None,
-                        help='multi-host: coordinator address host:port '
-                             '(or env FRCNN_COORDINATOR)')
-    parser.add_argument('--num-procs', dest='num_procs', default=None,
-                        type=int, help='multi-host: total process count')
-    parser.add_argument('--proc-id', dest='proc_id', default=None, type=int,
-                        help='multi-host: this process id')
-    parser.add_argument('--set', dest='set_cfgs', default=None,
-                        nargs=argparse.REMAINDER,
-                        help='set config keys')
-    if len(sys.argv) == 1:
-        parser.print_help()
+def build_parser():
+    ap = argparse.ArgumentParser(description="Train a Faster R-CNN network")
+    add = ap.add_argument
+    add("--cfg", dest="cfg_file", default=None, help="optional config file")
+    add("--weight", default=None,
+        help="pretrained weights: TF .ckpt bundle or slim var dict .npz/.pkl")
+    add("--imdb", dest="imdb_name", default="voc_2007_trainval",
+        help="dataset(s) to train on, '+'-joined")
+    add("--imdbval", dest="imdbval_name", default="voc_2007_test",
+        help="dataset to validate on")
+    add("--iters", dest="max_iters", default=70000, type=int,
+        help="training length in images (reference iteration units)")
+    add("--tag", default=None, help="experiment tag (output subdir)")
+    add("--net", default="res50", choices=NETS)
+    add("--devices", default=0, type=int,
+        help="data-parallel devices (0 = all available)")
+    add("--coordinator", default=None,
+        help="multi-host coordinator host:port (or env FRCNN_COORDINATOR)")
+    add("--num-procs", dest="num_procs", default=None, type=int,
+        help="multi-host: total process count")
+    add("--proc-id", dest="proc_id", default=None, type=int,
+        help="multi-host: this process id")
+    add("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
+        help="dotted config overrides")
+    return ap
+
+
+def load_training_roidbs(joined_names):
+    """Build the concatenated training roidb for '+'-joined imdb names.
+
+    Returns (imdb, roidb): for a single name, the imdb itself; for a
+    combination, a bare imdb shell carrying the joined name and the shared
+    class list (the reference's combined-training behavior,
+    trainval_net.py:63-85).
+    """
+    from tf_faster_rcnn_tpu.config import cfg
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    from tf_faster_rcnn_tpu.engine.train_loop import get_training_roidb
+
+    names = joined_names.split("+")
+    roidb, classes = [], None
+    for name in names:
+        ds = get_imdb(name)
+        print("Loaded dataset `{:s}`".format(ds.name))
+        ds.set_proposal_method(cfg.TRAIN.PROPOSAL_METHOD)
+        print("Set proposal method: {:s}".format(cfg.TRAIN.PROPOSAL_METHOD))
+        roidb.extend(get_training_roidb(ds))
+        classes = ds.classes
+
+    if len(names) == 1:
+        return get_imdb(joined_names), roidb
+    from tf_faster_rcnn_tpu.datasets.imdb import imdb as imdb_shell
+    return imdb_shell(joined_names, classes), roidb
+
+
+def main(argv=None):
+    if argv is None and len(sys.argv) == 1:
+        build_parser().print_help()
         sys.exit(1)
-    return parser.parse_args()
+    args = build_parser().parse_args(argv)
 
-
-def combined_roidb(imdb_names):
-    """Combine multiple roidbs (e.g. voc_2007_trainval+voc_2012_trainval)."""
-
-    def get_roidb(imdb_name):
-        imdb = get_imdb(imdb_name)
-        print('Loaded dataset `{:s}`'.format(imdb.name))
-        imdb.set_proposal_method(cfg.TRAIN.PROPOSAL_METHOD)
-        print('Set proposal method: {:s}'.format(cfg.TRAIN.PROPOSAL_METHOD))
-        roidb = get_training_roidb(imdb)
-        return roidb
-
-    roidbs = [get_roidb(s) for s in imdb_names.split('+')]
-    roidb = roidbs[0]
-    if len(roidbs) > 1:
-        for r in roidbs[1:]:
-            roidb.extend(r)
-        from tf_faster_rcnn_tpu.datasets.imdb import imdb as imdb_cls
-        tmp = get_imdb(imdb_names.split('+')[1])
-        imdb = imdb_cls(imdb_names, tmp.classes)
-    else:
-        imdb = get_imdb(imdb_names)
-    return imdb, roidb
-
-
-def main():
-    args = parse_args()
-    from tf_faster_rcnn_tpu.utils.compilation_cache import enable_compilation_cache
+    from tf_faster_rcnn_tpu.utils.compilation_cache import \
+        enable_compilation_cache
     enable_compilation_cache()
-    print('Called with args:')
+    print("Called with args:")
     print(args)
 
+    from tf_faster_rcnn_tpu.config import (cfg, cfg_from_file, cfg_from_list,
+                                           get_output_dir, get_output_tb_dir)
     if args.cfg_file is not None:
         cfg_from_file(args.cfg_file)
     if args.set_cfgs is not None:
@@ -99,25 +97,25 @@ def main():
     dist.initialize(coordinator_address=args.coordinator,
                     num_processes=args.num_procs, process_id=args.proc_id)
 
-    print('Using config:')
+    print("Using config:")
     pprint.pprint(cfg)
     np.random.seed(cfg.RNG_SEED)
 
-    # train set
-    imdb, roidb = combined_roidb(args.imdb_name)
-    print('{:d} roidb entries'.format(len(roidb)))
+    imdb, roidb = load_training_roidbs(args.imdb_name)
+    print("{:d} roidb entries".format(len(roidb)))
 
     output_dir = get_output_dir(imdb, args.tag)
-    print('Output will be saved to `{:s}`'.format(output_dir))
+    print("Output will be saved to `{:s}`".format(output_dir))
     tb_dir = get_output_tb_dir(imdb, args.tag)
-    print('Metrics will be saved to `{:s}`'.format(tb_dir))
+    print("Metrics will be saved to `{:s}`".format(tb_dir))
 
-    # validation set (no flipping)
-    orgflip = cfg.TRAIN.USE_FLIPPED
-    cfg.TRAIN.USE_FLIPPED = False
-    _, valroidb = combined_roidb(args.imdbval_name)
-    print('{:d} validation roidb entries'.format(len(valroidb)))
-    cfg.TRAIN.USE_FLIPPED = orgflip
+    # validation roidb is never flip-augmented
+    saved_flip, cfg.TRAIN.USE_FLIPPED = cfg.TRAIN.USE_FLIPPED, False
+    try:
+        _, valroidb = load_training_roidbs(args.imdbval_name)
+    finally:
+        cfg.TRAIN.USE_FLIPPED = saved_flip
+    print("{:d} validation roidb entries".format(len(valroidb)))
 
     mesh = None
     if args.devices != 1 or dist.is_initialized():
@@ -126,14 +124,15 @@ def main():
         n = args.devices or len(jax.devices())
         if n > 1:
             mesh = make_mesh(n)
-            print(f'Training data-parallel over {n} devices'
-                  + (f' across {jax.process_count()} hosts'
-                     if jax.process_count() > 1 else ''))
+            hosts = (f" across {jax.process_count()} hosts"
+                     if jax.process_count() > 1 else "")
+            print(f"Training data-parallel over {n} devices{hosts}")
 
+    from tf_faster_rcnn_tpu.engine.train_loop import train_net
     train_net(args.net, imdb, roidb, valroidb, output_dir, tb_dir,
               pretrained_model=args.weight, max_iters=args.max_iters,
               mesh=mesh)
 
 
-if __name__ == '__main__':
+if __name__ == "__main__":
     main()
