@@ -237,6 +237,21 @@ def test_aspect_grouping_permutation(mini_voc):
     assert batch['image'].shape[0] == 2
 
 
+def test_aspect_grouping_odd_count(mini_voc):
+    """An odd (unflipped) roidb still yields a complete permutation — the
+    reference's pair reshape would fail on it (layer.py:52)."""
+    from tf_faster_rcnn_tpu.data.loader import RoIDataLayer
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    cfg.TRAIN.ASPECT_GROUPING = True
+    imdb = get_imdb('voc_2007_test')  # 6 entries, unflipped
+    imdb.set_proposal_method('gt')
+    prepare_roidb(imdb)
+    roidb = imdb.roidb[:5]
+    layer = RoIDataLayer(roidb, batch_size=1)
+    assert sorted(layer._perm.tolist()) == list(range(5))
+
+
 def test_tiny_roidb_wraps_to_full_batch(mini_voc):
     """batch_size > len(roidb) wraps instead of emitting a short batch
     (a short batch would recompile the jitted step / break sharding)."""

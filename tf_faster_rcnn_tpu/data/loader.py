@@ -154,19 +154,20 @@ class RoIDataLayer(object):
             self._rng = np.random.RandomState(seed)
         self._n_shuffles = getattr(self, "_n_shuffles", 0) + 1
         if cfg.TRAIN.ASPECT_GROUPING:
-            widths = np.array([r['width'] for r in self._roidb])
-            heights = np.array([r['height'] for r in self._roidb])
-            horz = (widths >= heights)
-            vert = np.logical_not(horz)
-            horz_inds = np.where(horz)[0]
-            vert_inds = np.where(vert)[0]
-            inds = np.hstack((
-                self._rng.permutation(horz_inds),
-                self._rng.permutation(vert_inds)))
-            inds = np.reshape(inds, (-1, 2))
-            row_perm = self._rng.permutation(np.arange(inds.shape[0]))
-            inds = np.reshape(inds[row_perm, :], (-1,))
-            self._perm = inds
+            # same-orientation pairing (layer.py:43-56 semantics): permute
+            # each orientation group, concatenate, shuffle at pair
+            # granularity. Odd group sizes straddle exactly one mixed pair;
+            # an odd TOTAL (unflipped roidbs) holds the last index out
+            # rather than failing the pair reshape like the reference.
+            landscape = np.array(
+                [r['width'] >= r['height'] for r in self._roidb])
+            order = np.concatenate(
+                [self._rng.permutation(np.flatnonzero(landscape)),
+                 self._rng.permutation(np.flatnonzero(~landscape))])
+            tail = order[len(order) & ~1:]
+            pairs = order[:len(order) & ~1].reshape(-1, 2)
+            self._perm = np.concatenate(
+                [pairs[self._rng.permutation(len(pairs))].ravel(), tail])
         else:
             self._perm = self._rng.permutation(np.arange(len(self._roidb)))
         self._cur = 0
