@@ -113,14 +113,21 @@ def mask_valid(x, valid_hw):
     margin after each layer restores the reference's boundary condition
     exactly, so the network output is bit-identical for ANY canvas that
     fits the image — which is what makes orientation-bucketed batching
-    safe. The multiply fuses into the preceding elementwise op (BN/ReLU);
-    measured cost is noise.
+    safe. The select fuses into the preceding elementwise op (BN/ReLU).
+
+    Masking is only REQUIRED where margin garbage could cross into the
+    valid region: before every spatially-mixing op (3x3 conv, pooling) and
+    once on the map handed to the RPN/crop consumers. 1x1 convs, BN and
+    residual adds keep garbage in the margin, so intermediate maps may
+    legally carry unmasked margins — which is also why this is a select
+    rather than a multiply: margins that grow through many unmasked units
+    may overflow in low precision, and 0 * inf would inject NaN.
     """
     b, h, w, _ = x.shape
     my = jnp.arange(h, dtype=jnp.float32)[None, :] < valid_hw[:, :1]
     mx = jnp.arange(w, dtype=jnp.float32)[None, :] < valid_hw[:, 1:]
     m = my[:, :, None, None] & mx[:, None, :, None]
-    return x * m.astype(x.dtype)
+    return jnp.where(m, x, jnp.zeros((), x.dtype))
 
 
 def shrink_valid(valid_hw, stride: int):

@@ -56,10 +56,12 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid_hw=None):
-        """valid_hw: [B, 2] valid cell extents of x (padded canvas) — the
-        1x1 convs' BN shifts repopulate the margin, so it is re-zeroed
-        before the spatial 3x3 and at the unit output (layers.mask_valid);
-        the input itself is assumed already masked by the caller."""
+        """valid_hw: [B, 2] valid cell extents of x (padded canvas). The
+        margin is re-zeroed only where it can cross into the valid region:
+        before the spatial 3x3 (layers.mask_valid). The 1x1 convs, BN
+        shifts and the residual add keep garbage inside the margin, so the
+        unit's output margin is left dirty — the next unit's pre-3x3 mask
+        (or the head's final mask) re-zeroes it."""
         depth_out = self.base_depth * 4
         depth_in = x.shape[-1]
         if depth_in == depth_out:
@@ -75,10 +77,7 @@ class Bottleneck(nn.Module):
                     name="conv2")(r)
         r = _ConvBN(depth_out, 1, 1, relu=False, dtype=self.dtype,
                     name="conv3")(r)
-        out = nn.relu(shortcut + r)
-        if valid_hw is not None:
-            out = mask_valid(out, shrink_valid(valid_hw, self.stride))
-        return out
+        return nn.relu(shortcut + r)
 
 
 class _Block(nn.Module):
@@ -186,6 +185,10 @@ class ResNetV1Head(nn.Module):
                 valid_hw = shrink_valid(valid_hw, strides[b])
             if b + 1 <= self.fixed_blocks:
                 x = jax.lax.stop_gradient(x)
+        if valid_hw is not None:
+            # the RPN 3x3 and the RoI crop consume this map directly — hand
+            # them a clean margin (units leave theirs dirty, see Bottleneck)
+            x = mask_valid(x, valid_hw)
         return x
 
 
