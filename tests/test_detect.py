@@ -116,3 +116,21 @@ def test_postprocess_bbox_reg_off_uses_raw_proposals(rng):
         # every output box is literally one of the (unscaled) proposals
         match = np.isclose(scaled, row[2:], atol=1e-4).all(axis=1)
         assert match.any()
+
+
+def test_postprocess_cap_exceeds_candidates(rng):
+    """max_per_image > classes*proposals pads the slab instead of crashing
+    (small-proposal serving/export configs hit this)."""
+    B, R, K = 1, 4, 3
+    rois = rng.uniform(10, 50, (B, R, 4)).astype(np.float32)
+    rois[..., 2:] = rois[..., :2] + 20
+    prob = np.full((B, R, K), 1.0 / K, np.float32)
+    pred = np.zeros((B, R, 4 * K), np.float32)
+    im_info = np.array([[64, 64, 1.0]], np.float32)
+    ohw = np.array([[64, 64]], np.float32)
+    det, dv = postprocess_detections(
+        rois, np.ones((B, R), bool), prob, pred, im_info, ohw,
+        num_classes=K, max_per_image=100, nms_thresh=0.3)
+    assert det.shape == (B, 100, 6) and dv.shape == (B, 100)
+    assert int(np.asarray(dv).sum()) <= (K - 1) * R
+    assert not np.asarray(dv)[0, (K - 1) * R:].any()

@@ -121,7 +121,10 @@ def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
 
     masked = jnp.where(keep, top_s, -jnp.inf)         # sorted order
     flat = masked.reshape(b, kc * r)
-    top_s2, top_i = lax.top_k(flat, max_per_image)    # [B, max_per_image]
+    # small-proposal configs can have fewer candidates than the output cap;
+    # top_k the available ones and pad the slab to the contracted shape
+    cap = min(max_per_image, kc * r)
+    top_s2, top_i = lax.top_k(flat, cap)              # [B, cap]
     cls_idx = top_i // r + 1                          # back to 1-based class
     boxes_flat = sb.reshape(b, kc * r, 4)
     out_boxes = jnp.take_along_axis(boxes_flat, top_i[..., None], axis=1)
@@ -130,4 +133,7 @@ def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
          out_boxes], axis=-1)
     dv = jnp.isfinite(top_s2)
     det = jnp.where(dv[..., None], det, 0.0)
+    if cap < max_per_image:
+        det = jnp.pad(det, ((0, 0), (0, max_per_image - cap), (0, 0)))
+        dv = jnp.pad(dv, ((0, 0), (0, max_per_image - cap)))
     return det, dv
