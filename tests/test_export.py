@@ -99,6 +99,32 @@ def test_export_artifact_is_self_contained(tiny_test_cfg, tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(g), v)
 
 
+def test_serve_cli_runs_from_bundle_alone(tiny_test_cfg, tmp_path, rng):
+    """tools/serve.py detects on real image files using only the bundle
+    (manifest-driven prep, per-bucket batching, JSON output)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import cv2
+    import serve
+
+    model, spec, params = _tiny_model()
+    out = str(tmp_path / "exported")
+    export_detect(model, spec, params, out, BATCH, max_per_image=10)
+
+    paths = []
+    for i, hw in enumerate([(80, 120), (120, 80), (90, 110)]):  # mixed orient
+        p = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(p, rng.randint(0, 255, (*hw, 3)).astype(np.uint8))
+        paths.append(p)
+    out_json = str(tmp_path / "dets.json")
+    serve.main(["--bundle", out, "--thresh", "0.0", "--json", out_json]
+               + paths)
+    dets = json.loads(open(out_json).read())
+    assert set(dets) == set(paths)
+    for rows in dets.values():
+        assert rows and all(len(r) == 6 for r in rows)
+
+
 def test_load_rejects_foreign_dir(tmp_path):
     bad = tmp_path / "not_an_export"
     bad.mkdir()
