@@ -35,4 +35,4 @@ time python ./tools/convert_weights.py \
   --dst "$dst" \
   --num-classes "$num_classes" \
   --cfg "experiments/cfgs/${net}.yml" \
-  --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" "${extra[@]}"
+  --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" ${extra[@]+"${extra[@]}"}

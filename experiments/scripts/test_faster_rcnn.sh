@@ -16,7 +16,7 @@ here="$(cd "$(dirname "$0")" && pwd)"
 [ $# -ge 3 ] || { echo "usage: $0 DEVICES DATASET NET [extra --set args]" >&2; exit 2; }
 devices="$1"; dataset="$2"; net="$3"; shift 3
 extra=("$@")
-tag="$(slug "${extra[@]}")"
+tag="$(slug ${extra[@]+"${extra[@]}"})"
 
 recipe "$dataset"
 
@@ -41,4 +41,6 @@ time python ./tools/test_net.py \
   --model "$snapshot" \
   --cfg "experiments/cfgs/${net}.yml" \
   --net "$net" \
-  --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" "${extra[@]}"
+  --devices "$devices" \
+  --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" \
+        ${extra[@]+"${extra[@]}"}

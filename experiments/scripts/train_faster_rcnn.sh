@@ -26,7 +26,7 @@ here="$(cd "$(dirname "$0")" && pwd)"
 [ $# -ge 3 ] || { echo "usage: $0 DEVICES DATASET NET [extra --set args]" >&2; exit 2; }
 devices="$1"; dataset="$2"; net="$3"; shift 3
 extra=("$@")
-tag="$(slug "${extra[@]}")"
+tag="$(slug ${extra[@]+"${extra[@]}"})"
 
 recipe "$dataset"
 
@@ -42,6 +42,6 @@ time python ./tools/trainval_net.py \
   --devices "$devices" \
   ${tag:+--tag "$tag"} \
   --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" \
-        TRAIN.STEPSIZE "$stepsize" "${extra[@]}"
+        TRAIN.STEPSIZE "$stepsize" ${extra[@]+"${extra[@]}"}
 
-"$here/test_faster_rcnn.sh" "$devices" "$dataset" "$net" "${extra[@]}"
+"$here/test_faster_rcnn.sh" "$devices" "$dataset" "$net" ${extra[@]+"${extra[@]}"}

@@ -192,3 +192,45 @@ def test_train_loader_mixed_batch_falls_back(mixed_voc):
     shapes = {layer.forward()['image'].shape[1:3] for _ in range(6)}
     assert shapes <= {(64, 96), (96, 64), (96, 96)}
     assert (96, 96) in shapes  # mixed batches exist at batch 4 over 6 images
+
+
+def test_resnet_canvas_invariance_nonzero_bn(rng):
+    """res50 outputs are canvas-invariant with NONZERO FrozenBatchNorm
+    shifts — the regime real pretrained weights live in, where every BN
+    repopulates the padded margin and only the pre-3x3 + head-end masks
+    (models/resnet_v1.py) keep it out of the valid region. vgg16's zero
+    init biases keep margins at exact 0, so the e2e eval test above cannot
+    see a deferred-masking bug; this one can."""
+    import dataclasses
+
+    import jax
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+
+    spec = dataclasses.replace(
+        spec_from_cfg('res50', 6, 'TEST'),
+        anchor_scales=(2, 4), rpn_pre_nms_top_n=256, rpn_post_nms_top_n=16)
+    model = FasterRCNN(spec)
+    content = (rng.randn(60, 90, 3) * 40).astype(np.float32)
+    im_info = np.array([[60.0, 90.0, 1.0]], np.float32)
+
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 64, 96, 3), np.float32), im_info)
+
+    def _perturb(path, leaf):
+        name = getattr(path[-1], 'key', str(path[-1]))
+        if name in ('mean', 'bias'):
+            return leaf + rng.randn(*leaf.shape).astype(leaf.dtype) * 0.3
+        return leaf
+    params = jax.tree_util.tree_map_with_path(_perturb, params)
+
+    outs = []
+    for ch, cw in ((64, 96), (96, 96), (64, 128)):
+        canvas = np.zeros((1, ch, cw, 3), np.float32)
+        canvas[0, :60, :90] = content
+        outs.append(model.apply(params, canvas, im_info))
+    for key in ('rois', 'cls_prob', 'bbox_pred'):
+        ref = np.asarray(outs[0][key])
+        for o in outs[1:]:
+            np.testing.assert_allclose(np.asarray(o[key]), ref,
+                                       rtol=1e-4, atol=1e-4, err_msg=key)
+    assert int(np.asarray(outs[0]['roi_valid']).sum()) > 0

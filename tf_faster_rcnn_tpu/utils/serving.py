@@ -65,8 +65,7 @@ def export_detect(model, spec, params, out_dir: str, batch: int, *,
     os.makedirs(out_dir, exist_ok=True)
     save_params(os.path.join(out_dir, "params.msgpack"), params)
     param_specs = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-        params)
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
 
     entries = []
     for canvas in canvas_buckets(cfg.TEST):

@@ -2,10 +2,12 @@
 """Export a trained detector as self-contained StableHLO serving artifacts.
 
 No reference counterpart — the reference serves from a live TF session
-(lib/model/test.py). This tool ahead-of-time compiles the full batched
-detect program (params baked in, one artifact per canvas bucket) into a
-directory that `tf_faster_rcnn_tpu.utils.serving.load_detect` can run with
-nothing but jax installed. See that module for the artifact contract.
+(lib/model/test.py). This tool ahead-of-time lowers the full batched
+detect program (one artifact per canvas bucket; params ship alongside and
+enter as function inputs — see utils/serving.py for why baking them as
+constants would break bit-exactness) into a directory that
+`tf_faster_rcnn_tpu.utils.serving.load_detect` can run with nothing but
+jax installed.
 
     python tools/export_model.py --net res101 --model snapshot.msgpack \
         --out exported/ --batch 8 [--platforms tpu cpu] [--verify]

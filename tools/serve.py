@@ -55,21 +55,34 @@ def main(argv=None):
     b = manifest["batch"]
     dtype = np.dtype(manifest["transfer_dtype"])
 
-    # group by bucket, run fixed-size batches (tail repeats the last image)
-    prepped = [(_prep(p, manifest), p) for p in args.images]
+    # group paths by orientation bucket (a cheap size probe, no decode),
+    # then prep one fixed-size batch at a time so memory stays bounded at
+    # the batch size; the tail repeats the last image
+    def _bucket_of(path):
+        from PIL import Image
+        with Image.open(path) as im:   # header-only size read
+            w, h = im.size
+        buckets = [tuple(e["canvas"]) for e in manifest["artifacts"]]
+        if len(buckets) == 1:
+            return buckets[0]
+        return buckets[0] if w >= h else buckets[1]
+
+    groups = {}
+    for p in args.images:
+        groups.setdefault(_bucket_of(p), []).append(p)
     results = {}
-    for bucket in {pk for (pk, *_), _ in prepped}:
-        group = [(x, p) for x, p in prepped if x[0] == bucket]
-        for i in range(0, len(group), b):
-            chunk = group[i:i + b]
-            pad = b - len(chunk)
-            rows = [x for x, _ in chunk] + [chunk[-1][0]] * pad
+    for bucket, paths in groups.items():
+        for i in range(0, len(paths), b):
+            chunk = paths[i:i + b]
+            rows = [_prep(p, manifest) for p in chunk]
+            rows += [rows[-1]] * (b - len(chunk))
+            assert all(r[0] == bucket for r in rows[:len(chunk)])
             image = np.stack([r[1] for r in rows]).astype(dtype)
             im_info = np.array([r[2] for r in rows], np.float32)
             orig_hw = np.array([r[3] for r in rows], np.float32)
             det, dv = fns[bucket](image, im_info, orig_hw)
             det, dv = np.asarray(det), np.asarray(dv)
-            for j, (_, path) in enumerate(chunk):
+            for j, path in enumerate(chunk):
                 keep = dv[j] & (det[j, :, 1] >= args.thresh)
                 results[path] = det[j][keep].tolist()
 

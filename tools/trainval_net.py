@@ -58,19 +58,18 @@ def load_training_roidbs(joined_names):
     from tf_faster_rcnn_tpu.engine.train_loop import get_training_roidb
 
     names = joined_names.split("+")
-    roidb, classes = [], None
+    roidb, ds = [], None
     for name in names:
         ds = get_imdb(name)
         print("Loaded dataset `{:s}`".format(ds.name))
         ds.set_proposal_method(cfg.TRAIN.PROPOSAL_METHOD)
         print("Set proposal method: {:s}".format(cfg.TRAIN.PROPOSAL_METHOD))
         roidb.extend(get_training_roidb(ds))
-        classes = ds.classes
 
     if len(names) == 1:
-        return get_imdb(joined_names), roidb
+        return ds, roidb
     from tf_faster_rcnn_tpu.datasets.imdb import imdb as imdb_shell
-    return imdb_shell(joined_names, classes), roidb
+    return imdb_shell(joined_names, ds.classes), roidb
 
 
 def main(argv=None):
