@@ -105,3 +105,30 @@ def test_orbax_backend_roundtrip_and_mixed_discovery(tmp_path):
     left = sorted(f for f in os.listdir(tmp_path)
                   if f.endswith((".msgpack", ".orbax")))
     assert left == ["net_iter_11.msgpack"]
+
+
+def test_async_orbax_snapshot(tmp_path):
+    """TPU.ASYNC_CHECKPOINT=True returns before the disk commit; after
+    wait_for_async the snapshot restores identically and ordering across
+    successive saves holds (the process-wide checkpointer serializes)."""
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    cfg.TPU.CHECKPOINT_BACKEND = "orbax"
+    cfg.TPU.ASYNC_CHECKPOINT = True
+    try:
+        paths = [ckpt.snapshot(str(tmp_path), "net", _state(s), {})[0]
+                 for s in (3, 7)]
+        ckpt.wait_for_async()
+    finally:
+        cfg.TPU.ASYNC_CHECKPOINT = False
+        cfg.TPU.CHECKPOINT_BACKEND = "msgpack"
+    for s, sp in zip((3, 7), paths):
+        assert os.path.isdir(sp)
+        restored = ckpt.restore(_state(0), sp)
+        assert int(restored.step) == s
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["params"]["b"]), np.ones(3) * s)
+    found = ckpt.find_previous(str(tmp_path), "net")
+    assert found is not None and found[0] == 7
+    # flush with nothing in flight is a no-op
+    ckpt.wait_for_async()

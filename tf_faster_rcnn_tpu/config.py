@@ -199,6 +199,11 @@ def _default_cfg() -> AttrDict:
     # Snapshot format: 'msgpack' (single flat file, default) or 'orbax'
     # (directory-per-snapshot, sharded/async-capable for very large runs).
     C.TPU.CHECKPOINT_BACKEND = 'msgpack'
+    # Orbax-only: return from snapshot() as soon as device arrays are copied
+    # to host and commit to disk in the background (the step loop never
+    # stalls on checkpoint IO). The train loop flushes in-flight saves
+    # before exiting (utils/checkpoint.wait_for_async).
+    C.TPU.ASYNC_CHECKPOINT = False
     # Multi-host runs take summaries every N iterations instead of the
     # wall-clock TRAIN.SUMMARY_INTERVAL (host clocks would desynchronize the
     # collective val-loss forward and deadlock).

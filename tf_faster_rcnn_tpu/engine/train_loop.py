@@ -318,6 +318,7 @@ class SolverWrapper(object):
         self.state = state
         if max_iters % snapshot_iters != 0:
             self.snapshot()
+        ckpt.wait_for_async()  # flush in-flight async orbax saves
         if self._is_coord:
             writer.close()
             self.tb_writer.close()

@@ -44,6 +44,26 @@ def _meta_path(output_dir, prefix, step):
     return os.path.join(output_dir, f"{prefix}_iter_{step}.pkl")
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    """Process-wide orbax checkpointer reused across async saves (each save
+    waits for the previous one internally, so ordering is preserved)."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_async():
+    """Block until every in-flight async orbax save is durable on disk.
+    No-op when async checkpointing was never used."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def snapshot(output_dir, prefix, state, data_state: dict,
              extra_meta: Optional[dict] = None) -> Tuple[str, str]:
     """Write a (state msgpack, host-meta pickle) snapshot pair."""
@@ -53,11 +73,17 @@ def snapshot(output_dir, prefix, state, data_state: dict,
     tree = {"params": state.params, "opt_state": state.opt_state,
             "step": state.step, "key": state.key}
     if sp.endswith(".orbax"):
-        import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(sp), tree, force=True)
-        ckptr.wait_until_finished()
-        ckptr.close()
+        from tf_faster_rcnn_tpu.config import cfg
+        if bool(cfg.TPU.ASYNC_CHECKPOINT):
+            # returns once device arrays are copied out; disk commit runs in
+            # the background (a following save waits for the previous one)
+            _async_checkpointer().save(os.path.abspath(sp), tree, force=True)
+        else:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(sp), tree, force=True)
+            ckptr.wait_until_finished()
+            ckptr.close()
     else:
         with open(sp, "wb") as f:
             f.write(serialization.to_bytes(tree))
