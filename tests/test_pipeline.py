@@ -332,3 +332,32 @@ def test_loader_space_to_depth_batches(mini_voc):
     want = np.stack([space_to_depth(im) for im in plain['image']])
     np.testing.assert_array_equal(want, s2d['image'])
     np.testing.assert_array_equal(plain['im_info'], s2d['im_info'])
+
+
+def test_in_training_validation_map(mini_voc):
+    """TPU.EVAL_ITERS runs the full TEST-mode eval during training and
+    records val_mAP (no reference counterpart — it only summarizes val
+    losses, train_val.py:198-210)."""
+    import json
+
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    from tf_faster_rcnn_tpu.engine.train_loop import train_net
+    imdb = get_imdb('voc_2007_trainval')
+    imdb.set_proposal_method('gt')
+    prepare_roidb(imdb)
+    valimdb = get_imdb('voc_2007_test')
+    valimdb.set_proposal_method('gt')
+    prepare_roidb(valimdb)
+
+    cfg.TPU.EVAL_ITERS = 3
+    out_dir = str(mini_voc / 'train_eval_out')
+    tb_dir = str(mini_voc / 'tb_eval')
+    train_net('vgg16', imdb, list(imdb.roidb), list(valimdb.roidb),
+              out_dir, tb_dir, max_iters=3, valimdb=valimdb)
+
+    assert osp.isdir(osp.join(out_dir, 'val_eval_iter_3'))
+    rows = [json.loads(l) for l in open(osp.join(tb_dir, 'metrics.jsonl'))]
+    vals = [r for r in rows if 'val_mAP' in r]
+    assert vals and vals[-1]['step'] == 3
+    assert 0.0 <= vals[-1]['val_mAP'] <= 1.0

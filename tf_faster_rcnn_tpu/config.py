@@ -199,6 +199,11 @@ def _default_cfg() -> AttrDict:
     # Snapshot format: 'msgpack' (single flat file, default) or 'orbax'
     # (directory-per-snapshot, sharded/async-capable for very large runs).
     C.TPU.CHECKPOINT_BACKEND = 'msgpack'
+    # Run a full validation-mAP eval (TEST-mode engine on --imdbval) every N
+    # training images; 0 = off. No reference counterpart (it summarizes val
+    # LOSSES only, train_val.py:198-210). Coordinator-only; skipped in
+    # multi-host runs (evaluate snapshots offline there).
+    C.TPU.EVAL_ITERS = 0
     # Orbax-only: return from snapshot() as soon as device arrays are copied
     # to host and commit to disk in the background (the step loop never
     # stalls on checkpoint IO). The train loop flushes in-flight saves

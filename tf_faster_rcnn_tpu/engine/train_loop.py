@@ -44,15 +44,47 @@ __all__ = ["SolverWrapper", "train_net"]
 
 class SolverWrapper(object):
     def __init__(self, network_name, imdb, roidb, valroidb, output_dir,
-                 tb_dir, pretrained_model=None, mesh=None):
+                 tb_dir, pretrained_model=None, mesh=None, valimdb=None):
         self.net_name = network_name
         self.imdb = imdb
         self.roidb = roidb
         self.valroidb = valroidb
+        self.valimdb = valimdb
         self.output_dir = output_dir
         self.tb_dir = tb_dir
         self.pretrained_model = pretrained_model
         self.mesh = mesh
+
+    def _eval_map(self, state, it, writer):
+        """In-training validation mAP (TPU.EVAL_ITERS; no reference
+        counterpart — the reference only summarizes val losses,
+        train_val.py:198-210). Runs the full TEST-mode eval engine on
+        ``valimdb`` with the live params and records the metric."""
+        if jax.process_count() > 1:
+            if not getattr(self, "_eval_skip_warned", False):
+                print("TPU.EVAL_ITERS: skipping in-training eval in "
+                      "multi-host runs (evaluate snapshots offline)")
+                self._eval_skip_warned = True
+            return None
+        if not hasattr(self, "_eval_model"):
+            self._eval_spec = spec_from_cfg(
+                self.net_name, self.valimdb.num_classes, "TEST")
+            self._eval_model = FasterRCNN(self._eval_spec)
+        from tf_faster_rcnn_tpu.engine.test_engine import test_net
+        out_dir = os.path.join(self.output_dir, f"val_eval_iter_{it}")
+        params = jax.device_get(state.params)
+        mean_ap = test_net(self._eval_model, self._eval_spec, params,
+                           self.valimdb, f"iter_{it}",
+                           max_per_image=int(cfg.TPU.MAX_PER_IMAGE),
+                           mesh=self.mesh, output_dir=out_dir)
+        if mean_ap is not None:
+            mean_ap = float(np.asarray(mean_ap).ravel()[0])
+            print(f"iter {it}: validation mAP = {mean_ap:.4f}")
+            if writer is not None:
+                writer.write(it, {"val_mAP": mean_ap})
+            if self.tb_writer_val is not None:
+                self.tb_writer_val.add_scalar("VAL/mAP", mean_ap, it)
+        return mean_ap
 
     def construct(self):
         np.random.seed(cfg.RNG_SEED)
@@ -174,6 +206,9 @@ class SolverWrapper(object):
         self.construct()
         max_iters = self.recipe["iters"](max_iters)
         snapshot_iters = self.recipe["iters"](cfg.TRAIN.SNAPSHOT_ITERS)
+        eval_iters = 0
+        if int(cfg.TPU.EVAL_ITERS) > 0 and self.valimdb is not None:
+            eval_iters = self.recipe["iters"](cfg.TPU.EVAL_ITERS)
         # multi-host: every process holds identical iterator state but
         # materializes only its slice of the global batch. The layers pick
         # each batch's canvas from its orientation bucket (config.
@@ -313,6 +348,9 @@ class SolverWrapper(object):
                 self.state = state
                 self.snapshot()
 
+            if eval_iters and it % eval_iters == 0:
+                self._eval_map(state, it, writer)
+
         if profiling:  # loop ended inside the trace window
             jax.profiler.stop_trace()
         self.state = state
@@ -342,12 +380,15 @@ def get_training_roidb(imdb):
 
 
 def train_net(network_name, imdb, roidb, valroidb, output_dir, tb_dir,
-              pretrained_model=None, max_iters=40000, mesh=None):
-    """Train a Faster R-CNN network (reference train_val.py:363-378)."""
+              pretrained_model=None, max_iters=40000, mesh=None,
+              valimdb=None):
+    """Train a Faster R-CNN network (reference train_val.py:363-378).
+    ``valimdb`` enables in-training validation mAP (TPU.EVAL_ITERS)."""
     roidb = filter_roidb(roidb)
     valroidb = filter_roidb(valroidb)
     sw = SolverWrapper(network_name, imdb, roidb, valroidb, output_dir,
-                       tb_dir, pretrained_model=pretrained_model, mesh=mesh)
+                       tb_dir, pretrained_model=pretrained_model, mesh=mesh,
+                       valimdb=valimdb)
     print('Solving...')
     state = sw.train_model(max_iters)
     print('done solving')

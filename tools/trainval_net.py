@@ -111,7 +111,7 @@ def main(argv=None):
     # validation roidb is never flip-augmented
     saved_flip, cfg.TRAIN.USE_FLIPPED = cfg.TRAIN.USE_FLIPPED, False
     try:
-        _, valroidb = load_training_roidbs(args.imdbval_name)
+        valimdb, valroidb = load_training_roidbs(args.imdbval_name)
     finally:
         cfg.TRAIN.USE_FLIPPED = saved_flip
     print("{:d} validation roidb entries".format(len(valroidb)))
@@ -130,7 +130,7 @@ def main(argv=None):
     from tf_faster_rcnn_tpu.engine.train_loop import train_net
     train_net(args.net, imdb, roidb, valroidb, output_dir, tb_dir,
               pretrained_model=args.weight, max_iters=args.max_iters,
-              mesh=mesh)
+              mesh=mesh, valimdb=valimdb)
 
 
 if __name__ == "__main__":
