@@ -361,3 +361,18 @@ def test_in_training_validation_map(mini_voc):
     vals = [r for r in rows if 'val_mAP' in r]
     assert vals and vals[-1]['step'] == 3
     assert 0.0 <= vals[-1]['val_mAP'] <= 1.0
+    # best-so-far params land where test_net/demo can consume them
+    best = osp.join(out_dir, cfg.TRAIN.SNAPSHOT_PREFIX + '_best.msgpack')
+    assert osp.exists(best)
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+    import jax
+    spec = spec_from_cfg('vgg16', valimdb.num_classes, 'TEST')
+    tmpl = jax.eval_shape(
+        lambda: FasterRCNN(spec).init(
+            jax.random.PRNGKey(0), np.zeros((1, 96, 128, 3), np.float32),
+            np.array([[96, 128, 1.0]], np.float32)))
+    from tf_faster_rcnn_tpu.utils import checkpoint as ckpt_mod
+    loaded = ckpt_mod.load_params(
+        best, jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), tmpl))
+    assert loaded is not None

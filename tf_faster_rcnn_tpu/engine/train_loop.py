@@ -84,6 +84,13 @@ class SolverWrapper(object):
                 writer.write(it, {"val_mAP": mean_ap})
             if self.tb_writer_val is not None:
                 self.tb_writer_val.add_scalar("VAL/mAP", mean_ap, it)
+            if mean_ap > getattr(self, "_best_map", -1.0):
+                # keep the best-so-far params where test_net/demo read them
+                self._best_map = mean_ap
+                best = os.path.join(self.output_dir,
+                                    f"{cfg.TRAIN.SNAPSHOT_PREFIX}_best.msgpack")
+                ckpt.save_params(best, params)
+                print(f"iter {it}: new best mAP {mean_ap:.4f} -> {best}")
         return mean_ap
 
     def construct(self):
