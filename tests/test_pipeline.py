@@ -376,3 +376,25 @@ def test_in_training_validation_map(mini_voc):
         best, jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), tmpl))
     assert loaded is not None
+
+
+def test_demo_cli_on_reference_images(mini_voc, monkeypatch, tmp_path):
+    """tools/demo.py end to end on a real reference demo image (read-only
+    set): random-init model, headless figure saved per image."""
+    import shutil
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
+    import demo as demo_mod
+
+    src = '/root/reference/data/demo/000456.jpg'
+    if not osp.exists(src):
+        pytest.skip('reference demo images unavailable')
+    demo_dir = tmp_path / 'demo_imgs'
+    demo_dir.mkdir()
+    shutil.copy(src, demo_dir / '000456.jpg')
+    out_dir = tmp_path / 'demo_out'
+    monkeypatch.setattr(sys, 'argv', [
+        'demo.py', '--net', 'mobile',
+        '--demo-dir', str(demo_dir), '--out-dir', str(out_dir)])
+    demo_mod.main()
+    assert (out_dir / 'det_000456.jpg.png').exists()
