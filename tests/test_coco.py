@@ -148,3 +148,40 @@ def test_coco_imdb_end_to_end(tmp_path):
     # flip augmentation uses annotation widths (train-time path)
     imdb.append_flipped_images()
     assert len(imdb.roidb) == 2 * n
+
+
+def test_coco_test_net_end_to_end(tmp_path):
+    """The full eval engine through the COCO path: batched detect ->
+    detections.pkl -> COCO results json -> pycoco_lite COCOeval. Closes the
+    gap between the hand-built-boxes eval test above and what test_net
+    actually feeds the evaluator."""
+    import jax
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    from tf_faster_rcnn_tpu.engine.test_engine import test_net
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+
+    _synth_coco(str(tmp_path))
+    cfg.DATA_DIR = str(tmp_path)
+    cfg.TEST.SCALES = (64,)
+    cfg.TEST.MAX_SIZE = 96
+    cfg.ANCHOR_SCALES = [2, 4]
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 256
+    cfg.TEST.RPN_POST_NMS_TOP_N = 16
+
+    imdb = get_imdb("coco_2014_minival")
+    imdb.competition_mode(True)  # unsalted, kept results json
+    spec = spec_from_cfg("mobile", imdb.num_classes, "TEST")
+    model = FasterRCNN(spec)
+    dummy = np.zeros((1, 64, 96, 3), np.float32)
+    info = np.array([[64, 96, 1.0]], np.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, info)
+
+    out = str(tmp_path / "coco_eval_out")
+    test_net(model, spec, params, imdb, "random", max_per_image=10,
+             batch_size=2, output_dir=out)
+    assert osp.exists(osp.join(out, "detections.pkl"))
+    results = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert results, "no COCO results json written"
+    rows = json.load(open(osp.join(out, results[0])))
+    assert rows and {"image_id", "category_id", "bbox", "score"} <= \
+        set(rows[0])
