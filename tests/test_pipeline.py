@@ -398,3 +398,54 @@ def test_demo_cli_on_reference_images(mini_voc, monkeypatch, tmp_path):
         '--demo-dir', str(demo_dir), '--out-dir', str(out_dir)])
     demo_mod.main()
     assert (out_dir / 'det_000456.jpg.png').exists()
+
+
+def test_sigterm_preemption_snapshots_and_resumes(mini_voc):
+    """SIGTERM mid-training (TPU maintenance/spot reclaim) finishes the
+    in-flight step, snapshots, and exits 0; a rerun resumes from it."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    child = f'''
+import sys
+sys.path.insert(0, {repr(osp.join(osp.dirname(__file__), ".."))})
+sys.path.insert(0, {repr(osp.dirname(__file__))})
+import jax; jax.config.update("jax_platforms", "cpu")
+from test_pipeline import _tiny_cfg
+from tf_faster_rcnn_tpu.config import cfg
+_tiny_cfg({repr(str(mini_voc))})
+cfg.TRAIN.USE_FLIPPED = False
+cfg.TRAIN.SNAPSHOT_ITERS = 10000
+from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+from tf_faster_rcnn_tpu.engine.train_loop import train_net
+imdb = get_imdb("voc_2007_trainval")
+imdb.set_proposal_method("gt")
+prepare_roidb(imdb)
+train_net("vgg16", imdb, list(imdb.roidb), list(imdb.roidb),
+          {repr(str(mini_voc / "preempt_out"))},
+          {repr(str(mini_voc / "preempt_tb"))}, max_iters=10000)
+print("TRAIN_RETURNED", flush=True)
+'''
+    proc = subprocess.Popen([sys.executable, '-u', '-c', child],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    deadline = time.time() + 420
+    for line in proc.stdout:
+        if line.startswith('iter: 2 ') or time.time() > deadline:
+            break
+    proc.send_signal(signal.SIGTERM)
+    out = proc.stdout.read()
+    assert proc.wait(timeout=300) == 0, out
+    assert 'snapshot' in out.lower()
+    assert 'TRAIN_RETURNED' in out
+    out_dir = str(mini_voc / 'preempt_out')
+    snaps = [f for f in os.listdir(out_dir) if f.endswith('.msgpack')]
+    assert snaps, 'no preemption snapshot written'
+
+    # the snapshot is resumable: two more iters in-process
+    from tf_faster_rcnn_tpu.utils import checkpoint as ckpt_mod
+    found = ckpt_mod.find_previous(out_dir, cfg.TRAIN.SNAPSHOT_PREFIX)
+    assert found is not None and found[0] >= 2

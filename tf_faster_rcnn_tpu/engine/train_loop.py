@@ -22,6 +22,7 @@ and the GT-boxes image summary, matching the reference writer setup
 from __future__ import annotations
 
 import os
+import signal
 import time
 import jax
 import numpy as np
@@ -267,7 +268,25 @@ class SolverWrapper(object):
         profiling = False
         it = int(jax.device_get(state.step))
         profile_start = it + min(10, max(max_iters - it - 1, 0))
+
+        # preemption safety: TPU VMs get SIGTERM ahead of maintenance or
+        # spot reclaim — finish the in-flight step, snapshot, and exit
+        # cleanly so the next run resumes from here (no reference
+        # counterpart; it loses everything since the last snapshot)
+        preempted = []
+
+        def _on_sigterm(signum, frame):
+            preempted.append(signum)
+            print("SIGTERM received: will snapshot and stop after the "
+                  "current step")
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:           # not the main thread (tests)
+            prev_handler = None
+
         while it < max_iters:
+            if preempted:
+                break
             if profile_dir and not profiling and it >= profile_start:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
@@ -361,8 +380,14 @@ class SolverWrapper(object):
         if profiling:  # loop ended inside the trace window
             jax.profiler.stop_trace()
         self.state = state
-        if max_iters % snapshot_iters != 0:
+        if preempted:
             self.snapshot()
+            print(f"preempted at iter {it}: snapshot written, resume with "
+                  f"the same command")
+        elif max_iters % snapshot_iters != 0:
+            self.snapshot()
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         ckpt.wait_for_async()  # flush in-flight async orbax saves
         if self._is_coord:
             writer.close()
