@@ -137,3 +137,41 @@ def test_class_aware_nms_shape(rng):
         expected = nms_cpu(dets, 0.3, plus_one=True, suppress_eq=False)[:16]
         got = np.asarray(idx[c])[np.asarray(v[c])]
         assert got.tolist() == expected[:len(got)].tolist()
+
+
+def test_sorted_nms_property_fuzz():
+    """Property fuzz (hypothesis): sorted_nms == the pure-python reference
+    oracle on adversarial integer-coordinate boxes — exact duplicates,
+    containment chains, zero-extent boxes — with distinct scores (greedy
+    NMS is only well-defined up to score ties)."""
+    from hypothesis import given, settings, strategies as st
+
+    from tf_faster_rcnn_tpu.ops.nms import sorted_nms
+    from tf_faster_rcnn_tpu.utils.native import py_cpu_nms
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(1, 48), label="n")
+        coord = st.integers(0, 24)
+        side = st.integers(0, 24)
+        rows = data.draw(st.lists(
+            st.tuples(coord, coord, side, side), min_size=n, max_size=n),
+            label="boxes")
+        boxes = np.array([[x, y, x + w, y + h] for x, y, w, h in rows],
+                         np.float32)
+        seed = data.draw(st.integers(0, 2 ** 31 - 1), label="seed")
+        scores = np.linspace(1.0, 0.1, n).astype(np.float32)
+        np.random.RandomState(seed).shuffle(scores)
+        thresh = data.draw(st.sampled_from([0.1, 0.3, 0.5, 0.7]),
+                           label="thresh")
+
+        idx, valid = sorted_nms(boxes, scores, np.ones(n, bool), thresh, n,
+                                plus_one=True, use_pallas=False)
+        got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid))
+               if v]
+        dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
+        want = [int(i) for i in py_cpu_nms(dets, thresh)]
+        assert got == want, (boxes.tolist(), scores.tolist(), thresh)
+
+    run()
