@@ -154,3 +154,66 @@ def test_cross_process_count_restore(tmp_path):
     np.testing.assert_allclose(m3["total_loss"], ref_m["total_loss"],
                                rtol=1e-5)
     np.testing.assert_allclose(c3, ref_c, rtol=1e-6)
+
+
+def test_two_process_eval_matches_single_process(tmp_path):
+    """Multi-host eval: 2 processes stripe the test_net batch schedule on
+    their local devices, the coordinator merges part files — detections and
+    mAP must equal a single-process run (no collectives involved)."""
+    import pickle
+
+    sys.path.insert(0, str(TESTS_DIR))
+    from test_pipeline import _make_voc, _tiny_cfg
+
+    root = str(tmp_path)
+    _make_voc(root, 'test')
+
+    # single-process reference (same PRNGKey init as the workers)
+    import jax
+    import numpy as np
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+    from tf_faster_rcnn_tpu.engine.test_engine import test_net
+    from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg
+    _tiny_cfg(tmp_path)
+    imdb = get_imdb('voc_2007_test')
+    spec = spec_from_cfg('vgg16', imdb.num_classes, 'TEST')
+    model = FasterRCNN(spec)
+    dummy = np.zeros((1, 96, 128, 3), np.float32)
+    info = np.array([[96, 128, 1.0]], np.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, info)
+    ref_dir = str(tmp_path / 'eval_1p')
+    ref_map = test_net(model, spec, params, imdb, 'mh', max_per_image=10,
+                       batch_size=2, output_dir=ref_dir)
+
+    # 2-process run against the same fixture
+    port = _free_port()
+    out = tmp_path / 'eval_2p.json'
+    mh_dir = str(tmp_path / 'eval_2p')
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO_ROOT}:{env.get('PYTHONPATH', '')}"
+    env.pop("XLA_FLAGS", None)
+    opts = json.dumps({"root": root, "out_dir": mh_dir})
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(TESTS_DIR / "multihost_eval_worker.py"),
+             str(pid), "2", str(port), str(out), opts],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    logs = [p.communicate(timeout=900)[0].decode(errors='replace')
+            for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"eval worker {i} failed:\n{logs[i][-4000:]}"
+    got = json.loads(out.read_text())
+    np.testing.assert_allclose(got["mAP"], ref_map, rtol=0, atol=0)
+
+    with open(os.path.join(ref_dir, 'detections.pkl'), 'rb') as f:
+        ref_boxes = pickle.load(f)
+    with open(os.path.join(mh_dir, 'detections.pkl'), 'rb') as f:
+        mh_boxes = pickle.load(f)
+    assert len(mh_boxes) == len(ref_boxes)
+    for c in range(1, len(ref_boxes)):
+        for i in range(len(ref_boxes[c])):
+            np.testing.assert_array_equal(
+                np.asarray(mh_boxes[c][i]), np.asarray(ref_boxes[c][i]),
+                err_msg=f'class {c} image {i}')

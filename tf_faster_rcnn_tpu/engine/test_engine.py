@@ -148,6 +148,15 @@ def test_net(model, spec, params, imdb, weights_filename,
                 for k, grp in enumerate(groups)
                 for s in range(0, len(grp), b)]
 
+    # multi-host: detection is embarrassingly parallel over images, so each
+    # process takes a stripe of the batch schedule on its LOCAL devices (no
+    # collectives) and the coordinator merges part files before evaluating
+    # (same shared-output-dir assumption as multi-host snapshots)
+    import jax
+    pid, pcount = jax.process_index(), jax.process_count()
+    if pcount > 1:
+        schedule = schedule[pid::pcount]
+
     # overlap host-side decode/resize with device compute: batches are
     # prepared by a pool of worker threads (cv2 decode/resize release the
     # GIL) consumed strictly in schedule order through a bounded window, so
@@ -207,11 +216,46 @@ def test_net(model, spec, params, imdb, weights_filename,
         # otherwise outlive an eval that raised mid-loop
         pool.shutdown(wait=False, cancel_futures=True)
     det_file = os.path.join(output_dir, 'detections.pkl')
+    if pcount > 1:
+        all_boxes = _merge_multihost_parts(det_file, all_boxes, pid, pcount,
+                                           num_classes, num_images)
+        if all_boxes is None:  # non-coordinator: part written, done
+            return None
     with open(det_file, 'wb') as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
 
     print('Evaluating detections')
     return imdb.evaluate_detections(all_boxes, output_dir)
+
+
+def _merge_multihost_parts(det_file, all_boxes, pid, pcount, num_classes,
+                           num_images, timeout_s=900.0):
+    """Write this process's detections as a part file; the coordinator
+    waits for every part and merges. Owned entries are np arrays (possibly
+    empty), unowned ones are the initial [] lists — unambiguous."""
+    import time as _time
+    part = f'{det_file}.part{pid}'
+    with open(part + '.tmp', 'wb') as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+    os.replace(part + '.tmp', part)  # atomic: readers never see partials
+    print(f'wrote {part}')
+    if pid != 0:
+        return None
+    parts = [f'{det_file}.part{p}' for p in range(1, pcount)]
+    deadline = _time.time() + timeout_s
+    while not all(os.path.exists(p) for p in parts):
+        if _time.time() > deadline:
+            missing = [p for p in parts if not os.path.exists(p)]
+            raise RuntimeError(f'eval parts never arrived: {missing}')
+        _time.sleep(0.2)
+    for p in parts:
+        with open(p, 'rb') as f:
+            other = pickle.load(f)
+        for c in range(num_classes):
+            for i in range(num_images):
+                if isinstance(other[c][i], np.ndarray):
+                    all_boxes[c][i] = other[c][i]
+    return all_boxes
 
 
 def apply_nms(all_boxes, thresh):

@@ -38,6 +38,13 @@ def parse_args():
     parser.add_argument('--devices', dest='devices', default=1, type=int,
                         help='data-parallel devices for evaluation '
                              '(0 = all available)')
+    parser.add_argument('--coordinator', dest='coordinator', default=None,
+                        help='multi-host eval: coordinator host:port '
+                             '(or env FRCNN_COORDINATOR)')
+    parser.add_argument('--num-procs', dest='num_procs', default=None,
+                        type=int, help='multi-host: total process count')
+    parser.add_argument('--proc-id', dest='proc_id', default=None, type=int,
+                        help='multi-host: this process id')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     if len(sys.argv) == 1:
@@ -80,6 +87,13 @@ def main():
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs)
 
+    # multi-host bring-up must precede any other jax use; each process then
+    # detects its stripe of the batch schedule on its LOCAL devices and the
+    # coordinator merges/evaluates (engine/test_engine.py)
+    from tf_faster_rcnn_tpu.parallel import dist
+    dist.initialize(coordinator_address=args.coordinator,
+                    num_processes=args.num_procs, process_id=args.proc_id)
+
     print('Using config:')
     pprint.pprint(cfg)
 
@@ -96,9 +110,16 @@ def main():
     if args.devices != 1:
         import jax
         from tf_faster_rcnn_tpu.parallel.mesh import make_mesh
-        n = args.devices or len(jax.devices())
-        if n > 1:
-            mesh = make_mesh(n)
+        if jax.process_count() > 1:
+            # eval needs no collectives: shard each process's stripe over
+            # its own local devices only
+            local = jax.local_devices()
+            n = min(args.devices or len(local), len(local))
+            mesh = make_mesh(devices=local[:n]) if n > 1 else None
+        else:
+            n = args.devices or len(jax.devices())
+            mesh = make_mesh(n) if n > 1 else None
+        if mesh is not None:
             print(f'Evaluating data-parallel over {n} devices')
 
     filename = (args.model or 'random').split('/')[-1] + args.tag
