@@ -406,7 +406,6 @@ def test_sigterm_preemption_snapshots_and_resumes(mini_voc):
     import signal
     import subprocess
     import sys
-    import time
 
     child = f'''
 import sys
@@ -429,16 +428,22 @@ train_net("vgg16", imdb, list(imdb.roidb), list(imdb.roidb),
           {repr(str(mini_voc / "preempt_tb"))}, max_iters=10000)
 print("TRAIN_RETURNED", flush=True)
 '''
+    import threading
     proc = subprocess.Popen([sys.executable, '-u', '-c', child],
                             stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True)
-    deadline = time.time() + 420
+    # hard backstop: readline below blocks, so a silently-hung child must
+    # be killed from outside or the suite would hang forever
+    killer = threading.Timer(420, proc.kill)
+    killer.start()
     for line in proc.stdout:
-        if line.startswith('iter: 2 ') or time.time() > deadline:
+        if line.startswith('iter: 2 '):
             break
     proc.send_signal(signal.SIGTERM)
     out = proc.stdout.read()
-    assert proc.wait(timeout=300) == 0, out
+    rc = proc.wait(timeout=300)
+    killer.cancel()
+    assert rc == 0, out
     assert 'snapshot' in out.lower()
     assert 'TRAIN_RETURNED' in out
     out_dir = str(mini_voc / 'preempt_out')

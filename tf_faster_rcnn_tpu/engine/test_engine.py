@@ -104,7 +104,7 @@ def _slab_to_all_boxes(det, dv, num_classes):
 def test_net(model, spec, params, imdb, weights_filename,
              max_per_image: int = 100, thresh: float = 0.0,
              batch_size: Optional[int] = None, output_dir: Optional[str] = None,
-             mesh=None):
+             mesh=None, detect_fn=None):
     """Evaluate a model on an imdb; writes detections.pkl, runs the dataset
     evaluator, returns its result (mAP for VOC).
 
@@ -128,7 +128,11 @@ def test_net(model, spec, params, imdb, weights_filename,
         from tf_faster_rcnn_tpu.parallel.mesh import replicate
         params = replicate(mesh, params)
 
-    detect_fn = make_detect_fn(model, spec, max_per_image, thresh)
+    # callers that evaluate repeatedly (in-training eval) pass a cached
+    # detect_fn — a fresh closure per call would miss jax.jit's cache and
+    # pay the full trace+compile every time
+    detect_fn = detect_fn or make_detect_fn(model, spec, max_per_image,
+                                            thresh)
 
     _t = {'im_detect': Timer(), 'misc': Timer()}
 
@@ -154,8 +158,17 @@ def test_net(model, spec, params, imdb, weights_filename,
     # (same shared-output-dir assumption as multi-host snapshots)
     import jax
     pid, pcount = jax.process_index(), jax.process_count()
+    run_token = None
     if pcount > 1:
         schedule = schedule[pid::pcount]
+        # a coordinator-chosen token names this run's part files, so a
+        # rerun into the same output dir can never merge a previous run's
+        # leftovers (one tiny collective; processes are already clustered)
+        import uuid
+        from jax.experimental import multihost_utils
+        seed = np.int64(np.frombuffer(uuid.uuid4().bytes[:8], np.int64)[0]
+                        if pid == 0 else 0)
+        run_token = f"{int(multihost_utils.broadcast_one_to_all(seed)):x}"
 
     # overlap host-side decode/resize with device compute: batches are
     # prepared by a pool of worker threads (cv2 decode/resize release the
@@ -218,7 +231,8 @@ def test_net(model, spec, params, imdb, weights_filename,
     det_file = os.path.join(output_dir, 'detections.pkl')
     if pcount > 1:
         all_boxes = _merge_multihost_parts(det_file, all_boxes, pid, pcount,
-                                           num_classes, num_images)
+                                           num_classes, num_images,
+                                           token=run_token)
         if all_boxes is None:  # non-coordinator: part written, done
             return None
     with open(det_file, 'wb') as f:
@@ -229,19 +243,24 @@ def test_net(model, spec, params, imdb, weights_filename,
 
 
 def _merge_multihost_parts(det_file, all_boxes, pid, pcount, num_classes,
-                           num_images, timeout_s=900.0):
-    """Write this process's detections as a part file; the coordinator
-    waits for every part and merges. Owned entries are np arrays (possibly
-    empty), unowned ones are the initial [] lists — unambiguous."""
+                           num_images, token, timeout_s=900.0):
+    """Non-coordinators write their detections as a token-named part file;
+    the coordinator waits for every part, merges, and removes them. Owned
+    entries are np arrays (possibly empty), unowned ones are the initial
+    [] lists — unambiguous."""
     import time as _time
-    part = f'{det_file}.part{pid}'
-    with open(part + '.tmp', 'wb') as f:
-        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
-    os.replace(part + '.tmp', part)  # atomic: readers never see partials
-    print(f'wrote {part}')
+
+    def _part(p):
+        return f'{det_file}.{token}.part{p}'
+
     if pid != 0:
+        part = _part(pid)
+        with open(part + '.tmp', 'wb') as f:
+            pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+        os.replace(part + '.tmp', part)  # atomic: never read half-written
+        print(f'wrote {part}')
         return None
-    parts = [f'{det_file}.part{p}' for p in range(1, pcount)]
+    parts = [_part(p) for p in range(1, pcount)]
     deadline = _time.time() + timeout_s
     while not all(os.path.exists(p) for p in parts):
         if _time.time() > deadline:
@@ -255,6 +274,7 @@ def _merge_multihost_parts(det_file, all_boxes, pid, pcount, num_classes,
             for i in range(num_images):
                 if isinstance(other[c][i], np.ndarray):
                     all_boxes[c][i] = other[c][i]
+        os.unlink(p)
     return all_boxes
 
 

@@ -67,17 +67,31 @@ class SolverWrapper(object):
                       "multi-host runs (evaluate snapshots offline)")
                 self._eval_skip_warned = True
             return None
+        from tf_faster_rcnn_tpu.engine.test_engine import (make_detect_fn,
+                                                           test_net)
         if not hasattr(self, "_eval_model"):
             self._eval_spec = spec_from_cfg(
                 self.net_name, self.valimdb.num_classes, "TEST")
             self._eval_model = FasterRCNN(self._eval_spec)
-        from tf_faster_rcnn_tpu.engine.test_engine import test_net
+            # one closure for the whole run: jax.jit caches per function
+            # object, so a fresh make_detect_fn per eval would recompile
+            self._eval_detect_fn = make_detect_fn(
+                self._eval_model, self._eval_spec,
+                int(cfg.TPU.MAX_PER_IMAGE))
         out_dir = os.path.join(self.output_dir, f"val_eval_iter_{it}")
         params = jax.device_get(state.params)
         mean_ap = test_net(self._eval_model, self._eval_spec, params,
                            self.valimdb, f"iter_{it}",
                            max_per_image=int(cfg.TPU.MAX_PER_IMAGE),
-                           mesh=self.mesh, output_dir=out_dir)
+                           mesh=self.mesh, output_dir=out_dir,
+                           detect_fn=self._eval_detect_fn)
+        # keep only the newest eval artifacts (detections.pkl per eval
+        # would otherwise grow the run dir unboundedly)
+        prev_dir = getattr(self, "_last_eval_dir", None)
+        if prev_dir and os.path.isdir(prev_dir):
+            import shutil
+            shutil.rmtree(prev_dir, ignore_errors=True)
+        self._last_eval_dir = out_dir
         if mean_ap is not None:
             mean_ap = float(np.asarray(mean_ap).ravel()[0])
             print(f"iter {it}: validation mAP = {mean_ap:.4f}")
@@ -203,7 +217,9 @@ class SolverWrapper(object):
         prefix = cfg.TRAIN.SNAPSHOT_PREFIX
         ckpt.snapshot(self.output_dir, prefix, self.state,
                       {"train": self.data_layer.get_state(),
-                       "val": self.data_layer_val.get_state()})
+                       "val": self.data_layer_val.get_state()},
+                      extra_meta={"best_map": getattr(self, "_best_map",
+                                                      -1.0)})
         ckpt.remove_old_snapshots(self.output_dir, prefix,
                                   int(cfg.TRAIN.SNAPSHOT_KEPT))
 
@@ -245,6 +261,9 @@ class SolverWrapper(object):
             self.data_layer.set_state(meta["data_state"]["train"])
             self.data_layer_val.set_state(meta["data_state"]["val"])
             np.random.set_state(meta["np_rng_state"])
+            # a resumed run must not let a worse eval clobber the saved
+            # best-mAP params
+            self._best_map = float(meta.get("best_map", -1.0))
             print(f"Restored from iter {step}")
 
         if pcount > 1:
@@ -285,8 +304,21 @@ class SolverWrapper(object):
             prev_handler = None
 
         while it < max_iters:
-            if preempted:
+            if preempted and pcount == 1:
                 break
+            if pcount > 1 and it % int(cfg.TRAIN.DISPLAY) == 0:
+                # multi-host: breaking out of the loop must be AGREED, or
+                # the un-signaled hosts hang in the next step's all-reduce
+                # waiting for the one that left; a tiny allgather every
+                # DISPLAY iters turns any host's SIGTERM into a collective
+                # stop within a couple of seconds
+                from jax.experimental import multihost_utils
+                flags = multihost_utils.process_allgather(
+                    np.asarray([bool(preempted)]))
+                if np.asarray(flags).any():
+                    if not preempted:
+                        preempted.append("peer")
+                    break
             if profile_dir and not profiling and it >= profile_start:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True

@@ -88,16 +88,18 @@ def export_detect(model, spec, params, out_dir: str, batch: int, *,
             "space_to_depth": bool(s2d),
         })
 
-    # which NMS lowering went into the artifacts: the dispatch resolves at
-    # trace time (ops/nms.py), so exporting from a CPU host — including a
-    # multi-platform ("cpu","tpu") export — embeds the portable jnp block
-    # NMS (identical results); export on a TPU host to embed the Pallas
-    # kernel for peak postprocess speed.
+    # which NMS lowering went into the artifacts: the RPN NMS dispatch was
+    # snapshotted into ModelSpec when the spec was built (network.py:129),
+    # and it only resolves to Pallas on a TPU trace host — so exporting
+    # from a CPU host (including a multi-platform ("cpu","tpu") export)
+    # embeds the portable jnp block NMS (identical results); export on a
+    # TPU host to embed the Pallas kernel for peak postprocess speed.
     from tf_faster_rcnn_tpu.ops.nms import _pallas_available
     manifest = {
         "format": _FORMAT,
         "net": type(model).__name__,
-        "pallas_nms": bool(cfg.TPU.USE_PALLAS_NMS) and _pallas_available(),
+        "pallas_nms": bool(getattr(spec, "use_pallas_nms", False))
+                      and _pallas_available(),
         "num_classes": int(spec.num_classes),
         "batch": int(batch),
         "max_per_image": int(max_per_image or cfg.TPU.MAX_PER_IMAGE),
