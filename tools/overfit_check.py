@@ -35,15 +35,24 @@ def make_synthetic_voc(root, n_images, seed=0):
     """VOCdevkit2007 tree of noise images with bright solid rectangles.
 
     The same images back both the trainval and test splits — this drill
-    measures memorization, not generalization.
+    measures memorization, not generalization. Returns the sorted list of
+    classes actually emitted (each image draws only 1-2 random classes, so
+    with few images a class can be absent). Stale caches from a previous
+    run of the same workdir (imdb gt_roidb pickle, voc_eval annotation
+    cache) are removed first — they would otherwise silently serve the old
+    annotations to a run with a different --seed/--images.
     """
     import cv2
     rng = np.random.RandomState(seed)
+    shutil.rmtree(osp.join(root, "cache"), ignore_errors=True)
+    shutil.rmtree(osp.join(root, "VOCdevkit2007", "annotations_cache"),
+                  ignore_errors=True)
     voc = osp.join(root, "VOCdevkit2007", "VOC2007")
     os.makedirs(osp.join(voc, "JPEGImages"), exist_ok=True)
     os.makedirs(osp.join(voc, "Annotations"), exist_ok=True)
     os.makedirs(osp.join(voc, "ImageSets", "Main"), exist_ok=True)
     names = []
+    emitted = set()
     for i in range(n_images):
         name = f"{i:06d}"
         names.append(name)
@@ -55,6 +64,7 @@ def make_synthetic_voc(root, n_images, seed=0):
             x2 = min(x1 + rng.randint(20, 50), w - 2)
             y2 = min(y1 + rng.randint(20, 40), h - 2)
             cls = CLASSES_USED[rng.randint(len(CLASSES_USED))]
+            emitted.add(cls)
             im[y1:y2, x1:x2] = rng.randint(150, 255, 3)
             objs.append((cls, x1 + 1, y1 + 1, x2 + 1, y2 + 1))  # 1-based
         cv2.imwrite(osp.join(voc, "JPEGImages", name + ".jpg"), im)
@@ -72,6 +82,7 @@ def make_synthetic_voc(root, n_images, seed=0):
         with open(osp.join(voc, "ImageSets", "Main", split + ".txt"),
                   "w") as f:
             f.write("\n".join(names) + "\n")
+    return sorted(emitted)
 
 
 def configure_tiny(workdir):
@@ -117,7 +128,7 @@ def main():
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="overfit_")
     os.makedirs(workdir, exist_ok=True)
-    make_synthetic_voc(workdir, args.images, seed=args.seed)
+    present = make_synthetic_voc(workdir, args.images, seed=args.seed)
     configure_tiny(workdir)
 
     import jax
@@ -153,8 +164,11 @@ def main():
     mean_ap = test_net(model, spec, params, evalimdb, f"iter_{args.iters}",
                        max_per_image=20, output_dir=eval_dir)
 
+    # gate only on classes the generator actually emitted: with a small
+    # --images or unlucky --seed a CLASSES_USED member can have zero gt
+    # instances, and its AP would be a spurious 0
     aps = {}
-    for cls in CLASSES_USED:
+    for cls in present:
         with open(osp.join(eval_dir, f"{cls}_pr.pkl"), "rb") as f:
             aps[cls] = float(pickle.load(f)["ap"])
     print(f"[overfit] {args.net} @ {args.iters} iters: mAP(20cls) "
@@ -163,7 +177,12 @@ def main():
     ok = all(a >= args.min_ap for a in aps.values())
     print(f"[overfit] {'PASS' if ok else 'FAIL'} (gate {args.min_ap})")
     if not args.workdir:
-        shutil.rmtree(workdir, ignore_errors=True)
+        if ok:
+            shutil.rmtree(workdir, ignore_errors=True)
+        else:
+            # keep the evidence (detections, PR pickles, snapshots) —
+            # deleting it on FAIL leaves nothing to diagnose with
+            print(f"[overfit] artifacts retained for diagnosis: {workdir}")
     sys.exit(0 if ok else 1)
 
 
