@@ -15,17 +15,17 @@ import _init_paths  # noqa: F401
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--net", default="res101")
-    ap.add_argument("--canvas", default="608,1024")
-    ap.add_argument("--s2d", type=int, default=1,
-                    help="host space-to-depth input (ResNet backbones)")
-    ap.add_argument("--cfg", default=None,
-                    help="yml config; uses its TRAIN canvas/anchors/counts")
-    args = ap.parse_args()
+def measure(net="res101", batch=8, iters=10, canvas="608,1024", s2d=True,
+            cfg_path=None, image=None):
+    """Measure the train step; returns the metrics dict (also used by the
+    repo-root bench.py so train-perf regressions land in BENCH_r*.json).
+
+    ``image``: optional pre-built [batch, H, W, 3] float32 input (e.g. the
+    synthetic scenes bench.py uses); defaults to scaled noise. Space-to-
+    depth relayout is applied here either way.
+    """
+    args = argparse.Namespace(net=net, batch=batch, iters=iters,
+                              canvas=canvas, s2d=int(s2d), cfg=cfg_path)
 
     from tf_faster_rcnn_tpu.utils.compilation_cache import \
         enable_compilation_cache
@@ -57,7 +57,11 @@ def main():
     model = FasterRCNN(spec)
 
     rng = np.random.RandomState(0)
-    image = rng.randn(b, h, w, 3).astype(np.float32) * 40.0
+    if image is None:
+        image = rng.randn(b, h, w, 3).astype(np.float32) * 40.0
+    else:
+        assert image.shape == (b, h, w, 3), (image.shape, (b, h, w, 3))
+        image = image.astype(np.float32)
     if cfg.TPU.SPACE_TO_DEPTH:
         from tf_faster_rcnn_tpu.data.blob import space_to_depth
         image = np.stack([space_to_depth(im) for im in image])
@@ -104,9 +108,25 @@ def main():
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
     ips = b * args.iters / dt
-    print(json.dumps({"metric": f"{args.net}_train_throughput",
-                      "batch": b, "images_per_sec": round(ips, 2),
-                      "ms_per_step": round(1000 * dt / args.iters, 1)}))
+    return {"metric": f"{args.net}_train_throughput",
+            "batch": b, "images_per_sec": round(ips, 2),
+            "ms_per_step": round(1000 * dt / args.iters, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--net", default="res101")
+    ap.add_argument("--canvas", default="608,1024")
+    ap.add_argument("--s2d", type=int, default=1,
+                    help="host space-to-depth input (ResNet backbones)")
+    ap.add_argument("--cfg", default=None,
+                    help="yml config; uses its TRAIN canvas/anchors/counts")
+    args = ap.parse_args()
+    print(json.dumps(measure(net=args.net, batch=args.batch,
+                             iters=args.iters, canvas=args.canvas,
+                             s2d=bool(args.s2d), cfg_path=args.cfg)))
 
 
 if __name__ == "__main__":
