@@ -3,9 +3,11 @@
 
 CLI parity with /root/reference/tools/demo.py:113-155: loads a model (our
 params msgpack or a converted reference checkpoint), runs im_detect per
-image, per-class visualization at CONF_THRESH=0.8. Images default to the
-read-only reference demo set. Output figures are saved (headless) instead
-of shown.
+image, per-class visualization at CONF_THRESH=0.8. Images default to this
+repo's data/demo set, generated deterministically on first use (the
+reference bundles photographs, demo.py:148-155; see
+tools/make_demo_images.py) — so the demo works in any checkout. Output
+figures are saved (headless) instead of shown.
 """
 
 import argparse
@@ -27,7 +29,8 @@ from tf_faster_rcnn_tpu.models.network import FasterRCNN, spec_from_cfg  # noqa:
 from tf_faster_rcnn_tpu.utils.timer import Timer  # noqa: E402
 
 CONF_THRESH = 0.8
-DEFAULT_DEMO_DIR = '/root/reference/data/demo'
+REPO_ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+DEFAULT_DEMO_DIR = osp.join(REPO_ROOT, 'data', 'demo')
 
 
 def vis_detections(ax, class_name, dets, thresh=0.5):
@@ -48,6 +51,8 @@ def vis_detections(ax, class_name, dets, thresh=0.5):
 
 
 def demo(detect_fn, params, image_path, out_dir):
+    """Returns the machine-readable detections above CONF_THRESH:
+    [(class_name, score, x1, y1, x2, y2), ...]."""
     im = read_image_bgr(image_path)
     timer = Timer()
     timer.tic()
@@ -58,10 +63,13 @@ def demo(detect_fn, params, image_path, out_dir):
 
     fig, ax = plt.subplots(figsize=(12, 12))
     ax.imshow(im[:, :, ::-1], aspect='equal')
+    kept = []
     for row in dets:
         c, score = int(row[0]), row[1]
         if score < CONF_THRESH:
             continue
+        kept.append((VOC_CLASSES[c], float(score), float(row[2]),
+                     float(row[3]), float(row[4]), float(row[5])))
         vis_detections(ax, VOC_CLASSES[c],
                        np.array([[row[2], row[3], row[4], row[5], score]]),
                        CONF_THRESH)
@@ -71,6 +79,7 @@ def demo(detect_fn, params, image_path, out_dir):
     plt.savefig(out)
     plt.close(fig)
     print('Saved ' + out)
+    return kept
 
 
 def main():
@@ -88,6 +97,9 @@ def main():
     parser.add_argument('--cfg', dest='cfg_file', default=None)
     parser.add_argument('--demo-dir', default=DEFAULT_DEMO_DIR)
     parser.add_argument('--out-dir', default='demo_out')
+    parser.add_argument('--json', dest='json_out', default=None,
+                        help='also write {image: [[cls, score, x1, y1, x2, '
+                             'y2], ...]} for machine checks (day1_parity.sh)')
     args = parser.parse_args()
 
     from tf_faster_rcnn_tpu.utils.compilation_cache import enable_compilation_cache
@@ -115,13 +127,26 @@ def main():
     detect_fn = make_detect_fn(model, spec)
 
     os.makedirs(args.out_dir, exist_ok=True)
+    if not osp.isdir(args.demo_dir) or not any(
+            f.endswith(('.jpg', '.png')) for f in os.listdir(args.demo_dir)):
+        print(f'{args.demo_dir} is empty: generating the bundled synthetic '
+              'demo scenes (tools/make_demo_images.py)')
+        from tools.make_demo_images import generate
+        generate(args.demo_dir)
     im_names = sorted(f for f in os.listdir(args.demo_dir)
                       if f.endswith(('.jpg', '.png')))
+    all_dets = {}
     for im_name in im_names:
         print('~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~')
         print('Demo for {}'.format(im_name))
-        demo(detect_fn, params, osp.join(args.demo_dir, im_name),
-             args.out_dir)
+        all_dets[im_name] = demo(
+            detect_fn, params, osp.join(args.demo_dir, im_name),
+            args.out_dir)
+    if args.json_out:
+        import json
+        with open(args.json_out, 'w') as f:
+            json.dump(all_dets, f, indent=1)
+        print('Wrote ' + args.json_out)
 
 
 if __name__ == '__main__':
