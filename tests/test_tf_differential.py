@@ -1,0 +1,231 @@
+"""Differential tests against REAL TensorFlow (subprocess oracle).
+
+Round-2 verdict: the "TF-exact" claims for crop_and_resize and the E2E
+proposal/NMS path were only ever checked against hand-written restatements
+of TF's rules — a correlated-oracle risk on the two mAP-critical semantics.
+These tests close that gap: tests/tf_oracle.py runs the real
+``tf.image.crop_and_resize`` / ``tf.image.non_max_suppression`` (TF 2.21)
+plus the reference's own ``bbox_transform_inv_tf``/``clip_boxes_tf``
+(imported read-only from /root/reference/lib/model/bbox_transform.py:85-115)
+in a subprocess, and we compare bit-for-bit-ish (float32 tolerance).
+
+Reference behaviors under test:
+* RoI pooling sampling rules — lib/nets/network.py:141-157 (crop 14 + pool),
+  lib/nets/resnet_v1.py:55-76 (direct 7x7 crop).
+* Default E2E proposal path — lib/layer_utils/proposal_layer.py:56-83:
+  decode -> clip -> tf NMS (no pre-NMS top-N), standard IoU, ``>`` suppress.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tf_faster_rcnn_tpu.ops.anchors import anchor_grid
+from tf_faster_rcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+from tf_faster_rcnn_tpu.ops.nms import sorted_nms
+from tf_faster_rcnn_tpu.ops.roi_align import crop_and_resize
+
+HERE = Path(__file__).parent
+
+
+def _crop_cases(rng):
+    """(image, boxes, (ch, cw)) tuples covering TF's sampling edge rules."""
+    cases = []
+
+    def boxes_around(n, lo=-0.2, hi=1.2):
+        b = rng.uniform(lo, hi, size=(n, 4)).astype(np.float32)
+        return b
+
+    img = rng.randn(8, 8, 3).astype(np.float32)
+    cases.append((img, boxes_around(12), (7, 7)))
+
+    img = rng.randn(17, 13, 4).astype(np.float32)
+    cases.append((img, boxes_around(16), (14, 14)))
+
+    # crop dim 1: TF samples the box midpoint, not the corner
+    img = rng.randn(9, 11, 2).astype(np.float32)
+    cases.append((img, boxes_around(8), (1, 1)))
+
+    # degenerate boxes: inverted (y2 < y1 -> negative step), zero-extent
+    img = rng.randn(10, 10, 3).astype(np.float32)
+    deg = np.array([
+        [0.8, 0.1, 0.2, 0.9],    # inverted y
+        [0.1, 0.9, 0.9, 0.2],    # inverted x
+        [0.5, 0.3, 0.5, 0.7],    # zero height
+        [0.2, 0.6, 0.8, 0.6],    # zero width
+        [0.5, 0.5, 0.5, 0.5],    # point
+    ], np.float32)
+    cases.append((img, deg, (7, 7)))
+
+    # boundary straddling: samples exactly at and just past [0, S-1]
+    eps = np.float32(1e-3)
+    strad = np.array([
+        [0.0, 0.0, 1.0, 1.0],          # exact full image
+        [-eps, 0.0, 1.0, 1.0],         # first row just out of range
+        [0.0, -eps, 1.0 + eps, 1.0],   # both x ends straddle
+        [1.0, 1.0, 1.5, 1.5],          # fully out of range (all extrapolated)
+        [-1.0, -1.0, 2.0, 2.0],        # wide: most samples out of range
+        [0.0, 0.0, 1.0 + eps, 1.0 + eps],
+    ], np.float32)
+    img = rng.randn(12, 15, 3).astype(np.float32)
+    cases.append((img, strad, (14, 14)))
+
+    # detection-like shapes: conv4 feature map, many rois
+    img = rng.randn(38, 63, 16).astype(np.float32)
+    cases.append((img, boxes_around(64, -0.1, 1.1), (7, 7)))
+
+    # crop larger than the source image (upsampling path)
+    img = rng.randn(2, 3, 3).astype(np.float32)
+    cases.append((img, boxes_around(6, 0.0, 1.0), (14, 14)))
+    return cases
+
+
+def _nms_cases(rng):
+    """(boxes xyxy, scores, max_out, thresh) covering ties and clusters."""
+    cases = []
+
+    def rand_boxes(n, w=600, h=400):
+        x1 = rng.uniform(0, w - 2, n)
+        y1 = rng.uniform(0, h - 2, n)
+        x2 = x1 + rng.uniform(1, w / 3, n)
+        y2 = y1 + rng.uniform(1, h / 3, n)
+        return np.stack([x1, y1, x2, y2], 1).astype(np.float32)
+
+    def clustered(n, centers=8, w=600, h=400):
+        cx = rng.uniform(50, w - 50, centers)[rng.randint(0, centers, n)]
+        cy = rng.uniform(50, h - 50, centers)[rng.randint(0, centers, n)]
+        bw = rng.uniform(10, 80, n)
+        bh = rng.uniform(10, 80, n)
+        jx = rng.uniform(-15, 15, n)
+        jy = rng.uniform(-15, 15, n)
+        return np.stack([cx + jx - bw / 2, cy + jy - bh / 2,
+                         cx + jx + bw / 2, cy + jy + bh / 2],
+                        1).astype(np.float32)
+
+    def unique_scores(n):
+        # distinct scores -> greedy order is unambiguous
+        return (rng.permutation(n).astype(np.float32) + 1.0) / (n + 1.0)
+
+    cases.append((rand_boxes(200), unique_scores(200), 300, 0.7))
+    cases.append((clustered(1000), unique_scores(1000), 300, 0.7))
+
+    # tie-heavy: 3 score levels over clustered boxes — exercises the
+    # equal-score tie-break (TF pops the smaller box index first; so does
+    # lax.top_k)
+    b = clustered(400)
+    s = np.array([0.3, 0.6, 0.9], np.float32)[rng.randint(0, 3, 400)]
+    cases.append((b, s, 100, 0.5))
+
+    # identical boxes repeated: every duplicate must be suppressed
+    base = rand_boxes(20)
+    b = np.concatenate([base, base, base])
+    cases.append((b, unique_scores(60), 10, 0.3))
+
+    # max_out far above the survivor count: output length == survivors
+    cases.append((clustered(100, centers=2), unique_scores(100), 100, 0.4))
+    return cases
+
+
+def _prop_cases(rng):
+    """(anchors, deltas, scores, im_info, post_nms, thresh) e2e chains."""
+    cases = []
+    for (fh, fw, post, hw) in [(20, 30, 300, (320.0, 480.0)),
+                               (25, 38, 1000, (400.0, 600.0)),
+                               (14, 14, 2000, (224.0, 224.0))]:
+        anchors = np.asarray(anchor_grid(fh, fw), np.float32)
+        n = anchors.shape[0]
+        deltas = (rng.randn(n, 4) * 0.3).astype(np.float32)
+        scores = ((rng.permutation(n) + 1.0) / (n + 1.0)).astype(np.float32)
+        im_info = np.array([hw[0], hw[1], 1.0], np.float32)
+        cases.append((anchors, deltas, scores, im_info, post, 0.7))
+    return cases
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    """Build every case, run the TF subprocess once, return (cases, results)."""
+    rng = np.random.RandomState(7)
+    crops = _crop_cases(rng)
+    nmss = _nms_cases(rng)
+    props = _prop_cases(rng)
+
+    blob = {}
+    for i, (img, boxes, size) in enumerate(crops):
+        blob[f"crop{i}_image"] = img
+        blob[f"crop{i}_boxes"] = boxes
+        blob[f"crop{i}_size"] = np.array(size, np.int32)
+    for i, (boxes, scores, max_out, thr) in enumerate(nmss):
+        blob[f"nms{i}_boxes"] = boxes
+        blob[f"nms{i}_scores"] = scores
+        blob[f"nms{i}_params"] = np.array([max_out, thr], np.float32)
+    for i, (anchors, deltas, scores, info, post, thr) in enumerate(props):
+        blob[f"prop{i}_anchors"] = anchors
+        blob[f"prop{i}_deltas"] = deltas
+        blob[f"prop{i}_scores"] = scores
+        blob[f"prop{i}_iminfo"] = info
+        blob[f"prop{i}_params"] = np.array([post, thr], np.float32)
+
+    d = tmp_path_factory.mktemp("tf_oracle")
+    src, dst = d / "cases.npz", d / "results.npz"
+    np.savez(src, **blob)
+    proc = subprocess.run(
+        [sys.executable, str(HERE / "tf_oracle.py"), str(src), str(dst)],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, f"tf_oracle failed:\n{proc.stderr[-4000:]}"
+    return {"crop": crops, "nms": nmss, "prop": props,
+            "out": dict(np.load(dst))}
+
+
+@pytest.mark.parametrize("method", ["einsum", "gather"])
+def test_crop_and_resize_matches_real_tf(oracle, method):
+    for i, (img, boxes, size) in enumerate(oracle["crop"]):
+        want = oracle["out"][f"crop{i}_out"]
+        got = np.asarray(crop_and_resize(img, boxes, size, method=method))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-4,
+            err_msg=f"crop case {i} ({method}) diverges from real TF")
+
+
+def test_sorted_nms_matches_real_tf(oracle):
+    for i, (boxes, scores, max_out, thr) in enumerate(oracle["nms"]):
+        want = oracle["out"][f"nms{i}_idx"]
+        valid = np.ones(len(boxes), bool)
+        idx, ok = sorted_nms(boxes, scores, valid, thr, max_out,
+                             plus_one=False, suppress_eq=False,
+                             use_pallas=False)
+        got = np.asarray(idx)[np.asarray(ok)]
+        assert len(got) == len(want), (
+            f"nms case {i}: {len(got)} survivors vs TF's {len(want)}")
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"nms case {i} keep order diverges from TF")
+
+
+def test_proposal_chain_matches_reference_tf_branch(oracle):
+    """Decode -> clip -> NMS vs the reference's own TF functions + tf NMS.
+
+    This is the composition network.py::_proposals implements (minus the
+    padded-canvas anchor masking, which has no reference counterpart on an
+    unpadded grid): the exact chain of proposal_layer_tf:56-83.
+    """
+    for i, (anchors, deltas, scores, info, post, thr) in enumerate(
+            oracle["prop"]):
+        decoded = np.asarray(clip_boxes(
+            bbox_transform_inv(anchors, deltas), info[:2]))
+        np.testing.assert_allclose(
+            decoded, oracle["out"][f"prop{i}_decoded"], rtol=1e-5, atol=1e-3,
+            err_msg=f"prop case {i}: decode+clip diverges from reference TF")
+        valid = np.ones(len(anchors), bool)
+        idx, ok = sorted_nms(decoded, scores, valid, thr, post,
+                             plus_one=False, suppress_eq=False,
+                             use_pallas=False)
+        keep = np.asarray(idx)[np.asarray(ok)]
+        want_boxes = oracle["out"][f"prop{i}_boxes"]
+        want_scores = oracle["out"][f"prop{i}_scores"]
+        assert len(keep) == len(want_scores), (
+            f"prop case {i}: {len(keep)} rois vs TF's {len(want_scores)}")
+        np.testing.assert_allclose(decoded[keep], want_boxes,
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(scores[keep], want_scores)

@@ -37,13 +37,17 @@ def _axis_samples(lo, hi, size: int, crop: int, limit=None):
     map IS that size — extrapolates to 0.0 beyond it. Without the override a
     sample just past the image edge would bilinearly blend padded-margin
     activations instead (reference network.py:141-157 semantics lost)."""
+    # float op order matters at the extrapolation border: TF's kernel forms
+    # the scale as (hi-lo)*(S-1)/(crop-1) and the coordinate as
+    # lo*(S-1) + i*scale; computing (s2-s1)/(crop-1) instead rounds an ulp
+    # differently and flips the in-range check for boxes that land exactly
+    # on S-1 (caught by tests/test_tf_differential.py vs real TF 2.21)
     s1 = lo * (size - 1.0)
-    s2 = hi * (size - 1.0)
     if crop > 1:
-        step = (s2 - s1) / (crop - 1.0)
+        step = (hi - lo) * (size - 1.0) / (crop - 1.0)
         src = s1[:, None] + jnp.arange(crop, dtype=lo.dtype)[None, :] * step[:, None]
     else:
-        src = (0.5 * (s1 + s2))[:, None]
+        src = (0.5 * (lo + hi) * (size - 1.0))[:, None]
     hi_bound = (size - 1.0) if limit is None else limit
     in_range = (src >= 0.0) & (src <= hi_bound)
     src_c = jnp.clip(src, 0.0, size - 1.0)
@@ -91,17 +95,22 @@ def crop_and_resize(image, boxes, crop_size, method: str = "einsum",
     if method == "einsum":
         wy = _axis_weights(boxes[:, 0], boxes[:, 2], h, crop_h, dtype, lim_h)
         wx = _axis_weights(boxes[:, 1], boxes[:, 3], w, crop_w, dtype, lim_w)
+        # f32 inputs demand full-precision matmuls for the TF-exactness
+        # claim ON TPU (default precision multiplies in bf16 — the same
+        # gotcha as models/targets.py:75-83); the production bf16 path has
+        # nothing to lose and keeps the fast default
+        prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
         # contract the axis that leaves the smaller intermediate first —
         # the [R, crop, other_axis, C] tmp dominates HBM traffic
         if crop_h * w <= crop_w * h:
             tmp = jnp.einsum("rih,hwc->riwc", wy, image,
-                             preferred_element_type=dtype)
+                             preferred_element_type=dtype, precision=prec)
             return jnp.einsum("rjw,riwc->rijc", wx, tmp,
-                              preferred_element_type=dtype)
+                              preferred_element_type=dtype, precision=prec)
         tmp = jnp.einsum("rjw,hwc->rjhc", wx, image,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype, precision=prec)
         return jnp.einsum("rih,rjhc->rijc", wy, tmp,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype, precision=prec)
 
     y0, fy, oky = _axis_samples(boxes[:, 0], boxes[:, 2], h, crop_h, lim_h)
     x0, fx, okx = _axis_samples(boxes[:, 1], boxes[:, 3], w, crop_w, lim_w)
