@@ -156,6 +156,73 @@ def test_cross_process_count_restore(tmp_path):
     np.testing.assert_allclose(c3, ref_c, rtol=1e-6)
 
 
+def test_two_process_intraining_eval_matches_single_process(tmp_path):
+    """VERDICT r2 item 3: in-training validation mAP must run (not skip) in
+    multi-host training — _eval_map stripes the eval across processes and
+    only the coordinator records val_mAP. The recorded values must match a
+    single-process run of the same global-mesh training at the same iters."""
+    sys.path.insert(0, str(TESTS_DIR))
+    from multihost_train_eval_worker import run_train_with_eval
+    from test_pipeline import _make_voc
+
+    root = str(tmp_path)
+    _make_voc(root, 'trainval')
+    _make_voc(root, 'test')
+
+    # single-process reference on the parent's 8 virtual devices: 8-image
+    # global batch, 16 reference-unit iters -> 2 steps, eval at step 2
+    ref_vals = run_train_with_eval(root, str(tmp_path / 'out_1p'),
+                                   str(tmp_path / 'tb_1p'),
+                                   max_iters=16, eval_iters=8)
+    assert ref_vals, "single-process run recorded no val_mAP"
+
+    port = _free_port()
+    out = tmp_path / 'train_eval_2p.json'
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO_ROOT}:{env.get('PYTHONPATH', '')}"
+    env.pop("XLA_FLAGS", None)
+    opts = json.dumps({"root": root, "out_dir": str(tmp_path / 'out_2p'),
+                       "tb_dir": str(tmp_path / 'tb_2p'),
+                       "max_iters": 16, "eval_iters": 8})
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             str(TESTS_DIR / "multihost_train_eval_worker.py"),
+             str(pid), "2", str(port), str(out), opts],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    logs = [p.communicate(timeout=900)[0].decode(errors='replace')
+            for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, \
+            f"train-eval worker {i} failed:\n{logs[i][-4000:]}"
+    got = json.loads(out.read_text())["val_map"]
+
+    assert [s for s, _ in got] == [s for s, _ in ref_vals]
+    # params can differ in the last ulp across process topologies (gloo vs
+    # in-process reduction order), so allow a hair of mAP tolerance; a
+    # striping/merge bug (missing images) moves mAP by far more
+    np.testing.assert_allclose([v for _, v in got],
+                               [v for _, v in ref_vals], atol=1e-3)
+
+    # the scalar check alone is weak this early in training (mAP is 0.0 at
+    # 2 steps from random init), so also assert stripe coverage on the
+    # merged detections of the final in-training eval: every (class, image)
+    # slot a process owned arrives as an ndarray (possibly empty); a dropped
+    # stripe leaves the coordinator's initial plain-list placeholders behind
+    import pickle
+    det_file = (tmp_path / 'out_2p' / 'val_eval_iter_2' / 'detections.pkl')
+    assert det_file.exists(), "coordinator kept no merged final-eval dir"
+    all_boxes = pickle.loads(det_file.read_bytes())
+    num_images = len(all_boxes[1])
+    assert num_images == 6
+    for i in range(num_images):
+        assert all(isinstance(all_boxes[c][i], np.ndarray)
+                   for c in range(1, len(all_boxes))), \
+            f"image {i} missing from the merged multi-host eval"
+
+
 def test_two_process_eval_matches_single_process(tmp_path):
     """Multi-host eval: 2 processes stripe the test_net batch schedule on
     their local devices, the coordinator merges part files — detections and

@@ -60,15 +60,18 @@ class SolverWrapper(object):
         """In-training validation mAP (TPU.EVAL_ITERS; no reference
         counterpart — the reference only summarizes val losses,
         train_val.py:198-210). Runs the full TEST-mode eval engine on
-        ``valimdb`` with the live params and records the metric."""
-        if jax.process_count() > 1:
-            if not getattr(self, "_eval_skip_warned", False):
-                print("TPU.EVAL_ITERS: skipping in-training eval in "
-                      "multi-host runs (evaluate snapshots offline)")
-                self._eval_skip_warned = True
-            return None
+        ``valimdb`` with the live params and records the metric.
+
+        Multi-host: test_net itself stripes the batch schedule across
+        processes on their LOCAL devices (no collectives; engine/
+        test_engine.py) and merges part files on the coordinator, so every
+        process calls in here at the same iter with mesh=None and only the
+        coordinator gets a non-None mAP back (writers/best-params are
+        coordinator-only anyway). Equality with a single-process run at
+        the same iter is pinned by tests/test_multihost.py."""
         from tf_faster_rcnn_tpu.engine.test_engine import (make_detect_fn,
                                                            test_net)
+        multihost = jax.process_count() > 1
         if not hasattr(self, "_eval_model"):
             self._eval_spec = spec_from_cfg(
                 self.net_name, self.valimdb.num_classes, "TEST")
@@ -79,19 +82,23 @@ class SolverWrapper(object):
                 self._eval_model, self._eval_spec,
                 int(cfg.TPU.MAX_PER_IMAGE))
         out_dir = os.path.join(self.output_dir, f"val_eval_iter_{it}")
-        params = jax.device_get(state.params)
+        params = jax.device_get(state.params)  # replicated: every process
+        # has a full copy, so device_get works under a global mesh too
         mean_ap = test_net(self._eval_model, self._eval_spec, params,
                            self.valimdb, f"iter_{it}",
                            max_per_image=int(cfg.TPU.MAX_PER_IMAGE),
-                           mesh=self.mesh, output_dir=out_dir,
+                           mesh=None if multihost else self.mesh,
+                           output_dir=out_dir,
                            detect_fn=self._eval_detect_fn)
         # keep only the newest eval artifacts (detections.pkl per eval
-        # would otherwise grow the run dir unboundedly)
-        prev_dir = getattr(self, "_last_eval_dir", None)
-        if prev_dir and os.path.isdir(prev_dir):
-            import shutil
-            shutil.rmtree(prev_dir, ignore_errors=True)
-        self._last_eval_dir = out_dir
+        # would otherwise grow the run dir unboundedly); coordinator-only:
+        # out_dir is shared in multi-host runs
+        if not multihost or mean_ap is not None:
+            prev_dir = getattr(self, "_last_eval_dir", None)
+            if prev_dir and os.path.isdir(prev_dir):
+                import shutil
+                shutil.rmtree(prev_dir, ignore_errors=True)
+            self._last_eval_dir = out_dir
         if mean_ap is not None:
             mean_ap = float(np.asarray(mean_ap).ravel()[0])
             print(f"iter {it}: validation mAP = {mean_ap:.4f}")
