@@ -19,6 +19,8 @@ Reference eval entry point being protected: lib/datasets/coco.py:245-256
 (_do_detection_eval -> COCOeval(gt, dt, 'bbox')).
 """
 
+import os.path as osp
+
 import numpy as np
 import pytest
 
@@ -322,3 +324,116 @@ def test_differential_random_scenes(seed):
     got = _stats(_dataset(images, cats, gt_anns), _dets(dt_anns))
     np.testing.assert_allclose(got, expected, atol=1e-9,
                                err_msg=f"seed {seed}")
+
+
+# ---------------------------------------------------------------------------
+# Torture cases (VERDICT r2 item 6): every maxDets cap binding, area-range
+# boundaries hit exactly, and mass score ties where sort stability decides
+# the PR curve.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_maxdets_torture(seed):
+    """>100 detections per (image, category): all three maxDets slots
+    (1/10/100) truncate, with exact score ties straddling each cap boundary
+    so an unstable per-image sort or a post-merge cap shows up."""
+    rng = np.random.RandomState(100 + seed)
+    images, cats = [1, 2], [1]
+    gt_anns, dt_anns = [], []
+    for im in images:
+        for i in range(30):
+            x, y = rng.uniform(0, 900, 2)
+            gt_anns.append((im, 1, (x, y, 40.0, 40.0), False))
+            # a matching det + extra jittered duplicates -> ~120 dts/img
+            for j in range(4):
+                # scores quantized to 8 levels: heavy ties, including at
+                # ranks 1, 10 and 100
+                score = round(rng.randint(1, 9) / 8.0, 3)
+                jit = rng.uniform(-10, 10, 2)
+                dt_anns.append((im, 1, (x + jit[0], y + jit[1], 40.0, 40.0),
+                                score))
+    expected = _oracle_stats(images, cats, gt_anns, dt_anns)
+    got = _stats(_dataset(images, cats, gt_anns), _dets(dt_anns))
+    np.testing.assert_allclose(got, expected, atol=1e-9,
+                               err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_area_boundary_torture(seed):
+    """gt and dt areas exactly AT the small/medium boundaries (32^2, 96^2)
+    and one unit either side: the protocol's closed [a, b] ranges must
+    include the boundary on both adjacent slots."""
+    rng = np.random.RandomState(200 + seed)
+    images, cats = [1], [1, 2]
+    sizes = [(32.0, 32.0),              # area == 1024: small AND medium edge
+             (32.0, 32.0 + 1.0 / 32),   # just above
+             (31.0, 33.0),              # 1023: strictly small
+             (96.0, 96.0),              # area == 9216: medium AND large edge
+             (96.0, 96.0 + 1.0 / 96),
+             (95.0, 97.0)]
+    gt_anns, dt_anns = [], []
+    for k, (w, h) in enumerate(sizes):
+        for c in cats:
+            x, y = rng.uniform(0, 800, 2)
+            gt_anns.append((1, c, (x, y, w, h), False))
+            if rng.rand() < 0.8:
+                dt_anns.append((1, c, (x, y, w, h), round(rng.rand(), 1)))
+            # unmatched dt at the same boundary size (dt-ignore rule)
+            dt_anns.append((1, c, (x + 500, y + 100, w, h),
+                            round(rng.rand(), 1)))
+    expected = _oracle_stats(images, cats, gt_anns, dt_anns)
+    got = _stats(_dataset(images, cats, gt_anns), _dets(dt_anns))
+    np.testing.assert_allclose(got, expected, atol=1e-9,
+                               err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("levels", [1, 2])
+def test_differential_total_score_tie(levels):
+    """Every detection shares one (or two) score values across images and
+    categories: the global merge is decided entirely by sort stability;
+    oracle and implementation must agree on the resulting PR curve."""
+    rng = np.random.RandomState(42)
+    images, cats = [1, 2, 3], [1, 2]
+    gt_anns, dt_anns = [], []
+    for im in images:
+        for c in cats:
+            for _ in range(rng.randint(1, 6)):
+                w, h = np.exp(rng.uniform(2.0, 5.0, 2))
+                x, y = rng.uniform(0, 700, 2)
+                crowd = rng.rand() < 0.15
+                gt_anns.append((im, c, (x, y, w, h), crowd))
+                score = 0.5 if levels == 1 else (0.5, 0.7)[rng.randint(2)]
+                if rng.rand() < 0.8:
+                    jit = rng.uniform(-0.2, 0.2, 2) * (w, h)
+                    dt_anns.append((im, c, (x + jit[0], y + jit[1], w, h),
+                                    score))
+                dt_anns.append((im, c, (rng.uniform(0, 700),
+                                        rng.uniform(0, 700), w, h), score))
+    expected = _oracle_stats(images, cats, gt_anns, dt_anns)
+    got = _stats(_dataset(images, cats, gt_anns), _dets(dt_anns))
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# pycocotools golden triples: replayed when the fixture exists (minted by
+# tools/make_cocoeval_goldens.py on any host with real pycocotools — the
+# Docker image runs it at build time; this container has no pycocotools).
+# ---------------------------------------------------------------------------
+
+GOLDENS = osp.join(osp.dirname(__file__), "fixtures",
+                   "cocoeval_goldens.json")
+
+
+def test_pycocotools_golden_triples():
+    if not osp.exists(GOLDENS):
+        pytest.skip("golden triples not minted yet "
+                    "(tools/make_cocoeval_goldens.py needs pycocotools)")
+    import json
+    triples = json.load(open(GOLDENS))
+    assert triples, "empty goldens file"
+    for t in triples:
+        got = _stats(t["gt"], t["dt"])
+        np.testing.assert_allclose(
+            got, np.asarray(t["stats"], float), atol=1e-9,
+            err_msg=f"golden seed {t['seed']}")
