@@ -150,6 +150,28 @@ def test_coco_imdb_end_to_end(tmp_path):
     assert len(imdb.roidb) == 2 * n
 
 
+def test_coco_prepare_roidb_with_crowds(tmp_path):
+    """prepare_roidb on a COCO roidb with crowd annotations: crowd rois
+    carry overlap -1 for every class (coco.py crowd semantics) and must be
+    exempt from the fg/bg class invariants exactly as the reference's
+    `max_overlaps > 0` check exempts them (reference roidb.py:43-49).
+    Regression test for the 80-class rehearsal failure (round 3)."""
+    from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
+    from tf_faster_rcnn_tpu.datasets.factory import get_imdb
+
+    _synth_coco(str(tmp_path), with_crowd=True)
+    cfg.DATA_DIR = str(tmp_path)
+    imdb = get_imdb("coco_2014_minival")
+    imdb.set_proposal_method("gt")
+    prepare_roidb(imdb)  # raised "foreground roi mapped to class 0" before
+    e = imdb.roidb[0]
+    crowd = e["gt_overlaps"].toarray().min(axis=1) < 0
+    assert crowd.any()
+    # crowd rows surface as max_overlap -1, never as bg (0) or fg (>0)
+    assert (e["max_overlaps"][crowd] == -1).all()
+    assert (e["max_overlaps"][~crowd] > 0).all()
+
+
 def test_coco_test_net_end_to_end(tmp_path):
     """The full eval engine through the COCO path: batched detect ->
     detections.pkl -> COCO results json -> pycoco_lite COCOeval. Closes the

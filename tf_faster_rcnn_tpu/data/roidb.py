@@ -37,11 +37,16 @@ def prepare_roidb(imdb):
         entry["max_overlaps"] = overlaps.max(axis=1)
         entry["max_classes"] = overlaps.argmax(axis=1)
 
-        # invariant: zero overlap <=> assigned to background class 0
+        # invariants (reference roidb.py:43-49): zero overlap -> background
+        # class 0; positive overlap -> a foreground class. COCO crowd rois
+        # carry overlap -1 for every class (coco.py crowd semantics) and are
+        # exempt from both checks, exactly as the reference's ">0" test
+        # exempts them.
         is_bg = entry["max_overlaps"] == 0
         if not (entry["max_classes"][is_bg] == 0).all():
             raise AssertionError("background roi with nonzero class")
-        if not (entry["max_classes"][~is_bg] != 0).all():
+        is_fg = entry["max_overlaps"] > 0
+        if not (entry["max_classes"][is_fg] != 0).all():
             raise AssertionError("foreground roi mapped to class 0")
 
 
