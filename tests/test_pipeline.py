@@ -400,6 +400,55 @@ def test_demo_cli_on_reference_images(mini_voc, monkeypatch, tmp_path):
     assert (out_dir / 'det_000456.jpg.png').exists()
 
 
+def test_day1_parity_script_reaches_data_boundary(tmp_path):
+    """tools/day1_parity.sh (RUNBOOK.md as one command): in a container
+    with no released weights and no VOC data it must validate the local
+    environment and stop at the data boundary with exit 3 and a precise
+    list of what is missing."""
+    import subprocess
+    import sys as _sys
+
+    root = osp.join(osp.dirname(__file__), '..')
+    env = dict(os.environ)
+    # JAX_PLATFORMS env is ignored on machines whose sitecustomize
+    # registers the TPU plugin first; the script's DAY1_FORCE_CPU hook
+    # applies the in-process config update instead (a test touching the
+    # real TPU here could collide with a concurrent hardware run)
+    env['DAY1_FORCE_CPU'] = '1'
+    env['PYTHONPATH'] = osp.abspath(root)
+    proc = subprocess.run(
+        ['bash', osp.join(root, 'tools', 'day1_parity.sh'),
+         '--workdir', str(tmp_path)],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=root)
+    assert proc.returncode == 3, proc.stdout + proc.stderr
+    assert 'framework imports ok' in proc.stdout
+    assert 'data boundary' in proc.stdout
+    assert 'trained weights' in proc.stdout
+    assert 'VOC data' in proc.stdout
+
+
+def test_demo_cli_generates_bundled_images(mini_voc, monkeypatch, tmp_path):
+    """With an empty --demo-dir, demo.py generates the bundled synthetic
+    scenes (tools/make_demo_images.py) and runs on them — the demo works in
+    any checkout with no downloads (VERDICT r2 missing item 4; the
+    reference bundles photographs instead, demo.py:148-155)."""
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
+    import demo as demo_mod
+
+    demo_dir = tmp_path / 'gen_demo'
+    out_dir = tmp_path / 'gen_out'
+    monkeypatch.setattr(sys, 'argv', [
+        'demo.py', '--net', 'mobile',
+        '--demo-dir', str(demo_dir), '--out-dir', str(out_dir)])
+    demo_mod.main()
+    made = sorted(p.name for p in demo_dir.glob('*.jpg'))
+    assert len(made) == 5
+    for name in made:
+        assert (out_dir / f'det_{name}.png').exists()
+
+
 def test_sigterm_preemption_snapshots_and_resumes(mini_voc):
     """SIGTERM mid-training (TPU maintenance/spot reclaim) finishes the
     in-flight step, snapshots, and exits 0; a rerun resumes from it."""

@@ -50,8 +50,14 @@ mkdir -p "$WORKDIR"
 missing=()
 
 # ---- step 0: local environment sanity (always runs) -----------------------
+# DAY1_FORCE_CPU=1: pin JAX to CPU (tests; the machine's sitecustomize
+# registers the TPU plugin before JAX_PLATFORMS env is read, so only the
+# in-process config update works)
 python - <<'EOF'
+import os
 import jax
+if os.environ.get("DAY1_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import tf_faster_rcnn_tpu  # noqa: F401
 from tf_faster_rcnn_tpu.config import cfg  # noqa: F401
 print(f"day1: framework imports ok; devices: {jax.devices()}")
