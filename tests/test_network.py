@@ -122,8 +122,11 @@ def test_train_mode_losses_and_grads(rng):
 
 @pytest.mark.parametrize("backbone,frozen,active", [
     ("vgg16", ("head", "conv1_1"), ("head", "conv3_1")),
-    ("res50", ("head", "block1", "unit_1", "conv1", "conv"),
-     ("head", "block2", "unit_1", "conv1", "conv")),
+    # resnet probes the unit's EXPAND conv: conv1/conv2 legitimately have
+    # zero grad at init (the zero-init conv3 blocks backprop through the
+    # residual branch until the first update moves it off zero)
+    ("res50", ("head", "block1", "unit_1", "conv3", "conv"),
+     ("head", "block2", "unit_1", "conv3", "conv")),
     ("mobile", ("head", "base", "conv2d_0"),
      ("head", "base", "conv2d_6", "pointwise")),
 ])

@@ -40,11 +40,15 @@ class _ConvBN(nn.Module):
     stride: int = 1
     relu: bool = True
     dtype: Optional[jnp.dtype] = None
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.variance_scaling(
+                    2.0, "fan_in", "truncated_normal"))
         x = ConvSame(self.features, self.kernel, self.stride, use_bias=False,
-                     dtype=self.dtype, name="conv")(x)
+                     kernel_init=init, dtype=self.dtype, name="conv")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
@@ -75,8 +79,16 @@ class Bottleneck(nn.Module):
             r = mask_valid(r, valid_hw)
         r = _ConvBN(self.base_depth, 3, self.stride, dtype=self.dtype,
                     name="conv2")(r)
+        # zero-init the expand conv: every unit starts as identity, so a
+        # FROM-SCRATCH net keeps unit activation scale (He-init residual
+        # branches under frozen identity-BN otherwise double the variance at
+        # every add — 2^33 by conv4 in res101 — and the bbox head's exp()
+        # decode overflows on step 1). Checkpoint-initialized runs (the
+        # reference's only supported mode) overwrite the init, so this is
+        # from-scratch-only behavior: the frozen-BN gamma=1 cannot express
+        # the standard zero-gamma trick, the conv kernel can.
         r = _ConvBN(depth_out, 1, 1, relu=False, dtype=self.dtype,
-                    name="conv3")(r)
+                    zero_init=True, name="conv3")(r)
         return nn.relu(shortcut + r)
 
 
