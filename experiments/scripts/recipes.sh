@@ -35,6 +35,10 @@ recipe() {
       return 1
       ;;
   esac
+  # rehearsal/CI hooks: shrink the published schedule without forking the
+  # driver code path (tools/coco_rehearsal.py drives the real scripts)
+  iters="${FRCNN_ITERS:-$iters}"
+  stepsize="${FRCNN_STEPSIZE:-$stepsize}"
 }
 
 # start_log FILE — tee all further stdout/stderr into FILE under

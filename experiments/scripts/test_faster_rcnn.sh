@@ -16,7 +16,11 @@ here="$(cd "$(dirname "$0")" && pwd)"
 [ $# -ge 3 ] || { echo "usage: $0 DEVICES DATASET NET [extra --set args]" >&2; exit 2; }
 devices="$1"; dataset="$2"; net="$3"; shift 3
 extra=("$@")
-tag="$(slug ${extra[@]+"${extra[@]}"})"
+# rehearsal/CI hooks (tools/coco_rehearsal.py): pin the tag to the TRAIN
+# run's, evaluate under a different cfg (e.g. res101-lg shapes on a res101
+# snapshot), or point at a relocated output root (--set ROOT_DIR)
+tag="${FRCNN_TAG-$(slug ${extra[@]+"${extra[@]}"})}"
+cfg="${FRCNN_CFG:-experiments/cfgs/${net}.yml}"
 
 recipe "$dataset"
 
@@ -25,7 +29,7 @@ start_log "test_${net}_${train_imdb}${tag:+_$tag}"
 # Resolve the final snapshot by NUMERIC iter (batched runs divide the image
 # budget by the global batch, so the step count in the filename depends on
 # DEVICES — never assume iter_${iters}, and never sort lexically).
-rundir="output/${net}/${train_imdb}/${tag:-default}"
+rundir="${FRCNN_OUTPUT_ROOT:-.}/output/${net}/${train_imdb}/${tag:-default}"
 snapshot="$(python - "$rundir" "$net" <<'PY'
 import re, sys, glob, os
 rundir, net = sys.argv[1], sys.argv[2]
@@ -39,7 +43,7 @@ PY
 time python ./tools/test_net.py \
   --imdb "$test_imdb" \
   --model "$snapshot" \
-  --cfg "experiments/cfgs/${net}.yml" \
+  --cfg "$cfg" \
   --net "$net" \
   --devices "$devices" \
   --set ANCHOR_SCALES "$scales" ANCHOR_RATIOS "$ratios" \

@@ -26,18 +26,23 @@ here="$(cd "$(dirname "$0")" && pwd)"
 [ $# -ge 3 ] || { echo "usage: $0 DEVICES DATASET NET [extra --set args]" >&2; exit 2; }
 devices="$1"; dataset="$2"; net="$3"; shift 3
 extra=("$@")
-tag="$(slug ${extra[@]+"${extra[@]}"})"
+# rehearsal/CI hooks (tools/coco_rehearsal.py): pin the run tag (the slug
+# of path-valued --set overrides is not filesystem-safe), swap the config
+# file, or train from random init with FRCNN_WEIGHT=""
+tag="${FRCNN_TAG-$(slug ${extra[@]+"${extra[@]}"})}"
+cfg="${FRCNN_CFG:-experiments/cfgs/${net}.yml}"
+weight="${FRCNN_WEIGHT-data/imagenet_weights/${net}.npz}"
 
 recipe "$dataset"
 
 start_log "train_${net}_${train_imdb}${tag:+_$tag}"
 
 time python ./tools/trainval_net.py \
-  --weight "data/imagenet_weights/${net}.npz" \
+  --weight "$weight" \
   --imdb "$train_imdb" \
   --imdbval "$test_imdb" \
   --iters "$iters" \
-  --cfg "experiments/cfgs/${net}.yml" \
+  --cfg "$cfg" \
   --net "$net" \
   --devices "$devices" \
   ${tag:+--tag "$tag"} \
