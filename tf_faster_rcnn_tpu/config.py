@@ -172,6 +172,17 @@ def _default_cfg() -> AttrDict:
     C.TPU.RPN_NMS_CAP = 0
     # Images per device in a batch (data parallel).
     C.TPU.IMS_PER_DEVICE = 1
+    # Hybrid parallelism: devices per model-parallel group. 1 = pure data
+    # parallelism. > 1 builds a ('data','model') mesh (total devices =
+    # data * MODEL_DEVICES) where each model group cooperates on the SAME
+    # images: Megatron TP of the RoI head plus (SPATIAL_PARTITION) spatial
+    # partitioning of the backbone canvas — the scaling path once DP's
+    # per-device batch hits 1 image. See parallel/mesh.py.
+    C.TPU.MODEL_DEVICES = 1
+    # With MODEL_DEVICES > 1: also shard the image canvas's H dim over the
+    # model axis so the conv backbone splits spatially (GSPMD inserts the
+    # 3x3 halo exchanges). Single-process meshes only.
+    C.TPU.SPATIAL_PARTITION = True
     # Compute dtype for conv/matmul ('bfloat16' or 'float32').
     C.TPU.COMPUTE_DTYPE = 'float32'
     # Max detections per image in the fixed-shape output (reference

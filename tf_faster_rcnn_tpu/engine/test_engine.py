@@ -122,11 +122,14 @@ def test_net(model, spec, params, imdb, weights_filename,
     buckets = canvas_buckets(cfg.TEST)
     b = batch_size or max(1, int(cfg.TPU.IMS_PER_DEVICE))
     if mesh is not None:
-        n_dev = len(mesh.devices.flat)
+        # batch follows the DATA axis; model-axis devices cooperate on the
+        # same images (TP head / SP backbone, parallel/mesh.py)
+        from tf_faster_rcnn_tpu.parallel.mesh import (data_axis_size,
+                                                      shard_params)
+        n_dev = data_axis_size(mesh)
         b = max(b, n_dev)
         b -= b % n_dev
-        from tf_faster_rcnn_tpu.parallel.mesh import replicate
-        params = replicate(mesh, params)
+        params = shard_params(mesh, params, spec.backbone)
 
     # callers that evaluate repeatedly (in-training eval) pass a cached
     # detect_fn — a fresh closure per call would miss jax.jit's cache and
@@ -202,7 +205,8 @@ def test_net(model, spec, params, imdb, weights_filename,
             if mesh is not None:
                 from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
                 sharded = shard_batch(mesh, {"image": images, "im_info": im_info,
-                                             "orig_hw": orig_hw})
+                                             "orig_hw": orig_hw},
+                                      spatial=bool(cfg.TPU.SPATIAL_PARTITION))
                 with mesh:
                     det, dv = detect_fn(params, sharded["image"],
                                         sharded["im_info"], sharded["orig_hw"])

@@ -121,8 +121,11 @@ class SolverWrapper(object):
                                   "TRAIN")
         self.model = FasterRCNN(self.spec)
         canvas = canvas_buckets(cfg.TRAIN)[0]  # params are shape-agnostic
+        # global batch follows the DATA axis only — devices on the model
+        # axis cooperate on the same images (TP/SP), they don't add images
+        from tf_faster_rcnn_tpu.parallel.mesh import data_axis_size
         b = int(cfg.TPU.IMS_PER_DEVICE) * (
-            len(self.mesh.devices.flat) if self.mesh is not None else 1)
+            data_axis_size(self.mesh) if self.mesh is not None else 1)
         self.batch_size = b
         from tf_faster_rcnn_tpu.data.blob import batch_image_shape
         dummy = {
@@ -287,8 +290,8 @@ class SolverWrapper(object):
         last_summary_time = time.time()
         state = self.state
         if self.mesh is not None:
-            from tf_faster_rcnn_tpu.parallel.mesh import replicate
-            state = replicate(self.mesh, state)
+            from tf_faster_rcnn_tpu.parallel.mesh import shard_state
+            state = shard_state(self.mesh, state, self.net_name)
 
         profile_dir = str(cfg.TPU.PROFILE_DIR)
         profiling = False
@@ -339,7 +342,8 @@ class SolverWrapper(object):
             batch.pop("orig_hw", None)
             if self.mesh is not None:
                 from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
-                batch = shard_batch(self.mesh, batch)
+                batch = shard_batch(self.mesh, batch,
+                                    spatial=bool(cfg.TPU.SPATIAL_PARTITION))
             state, metrics = self.step_fn(state, batch)
             it += 1
             timer.toc()
@@ -380,7 +384,9 @@ class SolverWrapper(object):
                 val_batch.pop("orig_hw", None)
                 if self.mesh is not None:
                     from tf_faster_rcnn_tpu.parallel.mesh import shard_batch
-                    val_batch = shard_batch(self.mesh, val_batch)
+                    val_batch = shard_batch(
+                        self.mesh, val_batch,
+                        spatial=bool(cfg.TPU.SPATIAL_PARTITION))
                 vl = self.val_loss_fn(state.params, val_batch,
                                       jax.random.PRNGKey(it))
                 vm = {k: float(v) for k, v in vl.items()}

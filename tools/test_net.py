@@ -107,20 +107,26 @@ def main():
                                canvas_buckets(cfg.TEST)[0])
 
     mesh = None
-    if args.devices != 1:
+    n_model = max(1, int(cfg.TPU.MODEL_DEVICES))
+    if args.devices != 1 or n_model > 1:
         import jax
-        from tf_faster_rcnn_tpu.parallel.mesh import make_mesh
+        from tf_faster_rcnn_tpu.parallel.mesh import make_hybrid_mesh
         if jax.process_count() > 1:
-            # eval needs no collectives: shard each process's stripe over
-            # its own local devices only
+            # eval needs no cross-host collectives: shard each process's
+            # stripe over its own local devices only
             local = jax.local_devices()
             n = min(args.devices or len(local), len(local))
-            mesh = make_mesh(devices=local[:n]) if n > 1 else None
+            mesh = (make_hybrid_mesh(data=max(1, n // n_model),
+                                     model=n_model, devices=local[:n])
+                    if n > 1 else None)
         else:
             n = args.devices or len(jax.devices())
-            mesh = make_mesh(n) if n > 1 else None
+            mesh = (make_hybrid_mesh(data=max(1, n // n_model),
+                                     model=n_model) if n > 1 else None)
         if mesh is not None:
-            print(f'Evaluating data-parallel over {n} devices')
+            layout = (f'{n // n_model} data x {n_model} model'
+                      if n_model > 1 else 'data-parallel')
+            print(f'Evaluating {layout} over {n} devices')
 
     filename = (args.model or 'random').split('/')[-1] + args.tag
     test_net(model, spec, params, imdb, filename,

@@ -117,15 +117,24 @@ def main(argv=None):
     print("{:d} validation roidb entries".format(len(valroidb)))
 
     mesh = None
-    if args.devices != 1 or dist.is_initialized():
+    n_model = max(1, int(cfg.TPU.MODEL_DEVICES))
+    if args.devices != 1 or dist.is_initialized() or n_model > 1:
         import jax
-        from tf_faster_rcnn_tpu.parallel.mesh import make_mesh
+        from tf_faster_rcnn_tpu.parallel.mesh import make_hybrid_mesh
         n = args.devices or len(jax.devices())
+        if n_model > 1 and jax.process_count() > 1:
+            # TP-sharded params are not fully addressable from one host, so
+            # snapshots/eval would need gather-to-coordinator plumbing;
+            # multi-host runs scale over the data axis instead
+            raise SystemExit("TPU.MODEL_DEVICES > 1 is single-host only; "
+                             "multi-host runs use the data axis")
         if n > 1:
-            mesh = make_mesh(n)
+            mesh = make_hybrid_mesh(data=max(1, n // n_model), model=n_model)
             hosts = (f" across {jax.process_count()} hosts"
                      if jax.process_count() > 1 else "")
-            print(f"Training data-parallel over {n} devices{hosts}")
+            layout = (f"{n // n_model} data x {n_model} model"
+                      if n_model > 1 else "data-parallel")
+            print(f"Training {layout} over {n} devices{hosts}")
 
     from tf_faster_rcnn_tpu.engine.train_loop import train_net
     train_net(args.net, imdb, roidb, valroidb, output_dir, tb_dir,
