@@ -84,7 +84,12 @@ def main():
                       (BATCH, 1))
     orig_hw = np.tile(np.array([[375.0, 625.0]], np.float32), (BATCH, 1))
 
-    params = model.init(jax.random.PRNGKey(0), image[:1], im_info[:1])
+    # jit the init: eager flax init dispatches thousands of ops one-by-one,
+    # and this environment's relayed TPU costs ~30 ms per dispatch (~3 min
+    # of pure RTT); as one jitted program it is a single (persistently
+    # cached) compile
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), image[:1],
+                                 im_info[:1])
 
     def detect(params, image, im_info, orig_hw):
         out = model.apply(params, image, im_info)

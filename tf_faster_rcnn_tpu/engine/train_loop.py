@@ -135,7 +135,9 @@ class SolverWrapper(object):
             "gt_valid": np.zeros((1, cfg.TPU.MAX_GT), bool),
         }
         key = jax.random.PRNGKey(cfg.RNG_SEED)
-        params = self.model.init(
+        # jitted init: one (persistently cached) compile instead of
+        # thousands of eager per-op dispatches, each paying the device RTT
+        params = jax.jit(self.model.init)(
             {"params": key, "sampling": key, "dropout": key},
             dummy["image"], dummy["im_info"], dummy["gt_boxes"],
             dummy["gt_valid"])

@@ -54,7 +54,8 @@ def measure(batch, iters, warmup=3, reps=4, canvas=(608, 1024),
     im_info = np.tile(np.array([[ih, iw, 1.6]], np.float32), (batch, 1))
     orig_hw = np.tile(np.array([[ih / 1.6, iw / 1.6]], np.float32),
                       (batch, 1))
-    params = model.init(jax.random.PRNGKey(0), image[:1], im_info[:1])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), image[:1],
+                                 im_info[:1])
 
     def detect(params, image, im_info, orig_hw):
         out = model.apply(params, image, im_info)

@@ -74,7 +74,9 @@ def measure(net="res101", batch=8, iters=10, canvas="608,1024", s2d=True,
             (b, 1, 1)),
         "gt_valid": np.ones((b, 2), bool),
     }
-    params = model.init(
+    # jitted init: eager flax init is thousands of per-op dispatches, each
+    # paying the relay RTT (minutes); jitted it is one cached compile
+    params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
         batch["image"][:1], batch["im_info"][:1], batch["gt_boxes"][:1],

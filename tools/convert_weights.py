@@ -53,10 +53,10 @@ def main():
     model = FasterRCNN(spec)
     ch, cw = canvas_hw(cfg.TEST)
     from tf_faster_rcnn_tpu.data.blob import batch_image_shape
-    params = model.init(jax.random.PRNGKey(cfg.RNG_SEED),
-                        np.zeros(batch_image_shape(1, (ch, cw))[0],
-                                 np.float32),
-                        np.array([[ch, cw, 1.0]], np.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(cfg.RNG_SEED),
+        np.zeros(batch_image_shape(1, (ch, cw))[0], np.float32),
+        np.array([[ch, cw, 1.0]], np.float32))
     params = load_pretrained_into(params, args.src, args.net)
     save_params(args.dst, params)
     print(f'Wrote {args.dst}')

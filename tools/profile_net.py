@@ -64,7 +64,8 @@ def main():
     im_info = np.tile(np.array([[ih, iw, 1.6]], np.float32),
                       (args.batch, 1))
 
-    params = model.init(jax.random.PRNGKey(0), image[:1], im_info[:1])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), image[:1],
+                                 im_info[:1])
     if args.cfg:
         from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
         orig_hw = np.tile(np.array([[ih / 1.6, iw / 1.6]], np.float32),

@@ -66,7 +66,7 @@ def load_model_params(model_path, model, spec, net, canvas):
         print('No model given, testing with random initialization '
               '(reference behavior, test_net.py:116-118)')
         import jax.random as jr
-        return model.init(jr.PRNGKey(cfg.RNG_SEED), dummy, info)
+        return jax.jit(model.init)(jr.PRNGKey(cfg.RNG_SEED), dummy, info)
     if model_path.endswith('.msgpack'):
         # handles both bare save_params exports and training snapshots
         from tf_faster_rcnn_tpu.utils.checkpoint import load_params
