@@ -564,3 +564,35 @@ def test_coco_rehearsal_chain_smoke(tmp_path):
     with open(osp.join(eval_dir, 'detection_results.pkl'), 'rb') as f:
         evaluator = pickle.load(f)
     assert float(evaluator.stats[0]) == ap
+
+
+def test_coco_rehearsal_driver_invocation(tmp_path):
+    """Drive tools/coco_rehearsal.py THROUGH the real shell drivers at toy
+    shapes on CPU — the in-process smoke above validates the engine chain
+    but not the arg plumbing (driver scripts emit their own `--set`; the
+    rehearsal must pass bare KEY VALUE pairs). Covers: devkit generation ->
+    train_faster_rcnn.sh (env hooks, recipe override) -> chained
+    test_faster_rcnn.sh (numeric snapshot resolution) -> COCOeval AP."""
+    import subprocess
+    import sys
+    repo = osp.join(osp.dirname(__file__), '..')
+    tiny_sets = [
+        'TPU.CANVAS_SIZE', '[96,128]', 'TPU.MAX_GT', '8',
+        'TRAIN.SCALES', '(64,)', 'TRAIN.MAX_SIZE', '96',
+        'TEST.SCALES', '(64,)', 'TEST.MAX_SIZE', '96',
+        'ANCHOR_SCALES', '[2,4]',
+        'TRAIN.RPN_PRE_NMS_TOP_N', '256', 'TRAIN.RPN_POST_NMS_TOP_N', '48',
+        'TEST.RPN_PRE_NMS_TOP_N', '256', 'TEST.RPN_POST_NMS_TOP_N', '32',
+        'TRAIN.BATCH_SIZE', '16', 'TRAIN.RPN_BATCHSIZE', '32',
+        'TRAIN.USE_FLIPPED', 'False',
+    ]
+    proc = subprocess.run(
+        [sys.executable, osp.join('tools', 'coco_rehearsal.py'),
+         '--net', 'mobile', '--iters', '4', '--train-images', '4',
+         '--val-images', '2', '--max-gt', '8', '--base-hw', '96', '128',
+         '--ims-per-device', '2', '--skip-lg', '--min-ap', '0',
+         '--workdir', str(tmp_path / 'wd'), '--set'] + tiny_sets,
+        cwd=repo, capture_output=True, text=True, timeout=1200)
+    tail = proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert proc.returncode == 0, tail
+    assert '[rehearsal] PASS' in proc.stdout, tail

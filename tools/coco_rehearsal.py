@@ -45,8 +45,10 @@ def run_driver(script, devices, net, workdir, extra_sets, env_extra):
     env = dict(os.environ)
     env.update(env_extra)
     env.setdefault("FRCNN_TAG", "rehearsal")
+    # the driver scripts emit their own `--set` and append these extras to
+    # its KEY VALUE list — pass bare pairs, never a second `--set` token
     cmd = ([osp.join("experiments", "scripts", script), str(devices),
-            "coco", net, "--set"] + extra_sets)
+            "coco", net] + extra_sets)
     print(f"[rehearsal] {' '.join(cmd)}  (env: "
           f"{ {k: v for k, v in env_extra.items()} })")
     subprocess.run(cmd, cwd=REPO, env=env, check=True)
@@ -72,8 +74,18 @@ def main():
     ap.add_argument("--iters", type=int, default=4000,
                     help="training length in images (recipe units)")
     ap.add_argument("--train-images", type=int, default=96)
+    ap.add_argument("--val-images", type=int, default=16,
+                    help="images in each of valminusminival/minival")
+    ap.add_argument("--base-hw", type=int, nargs=2, default=(480, 640),
+                    help="generated image size (pre-resize)")
+    ap.add_argument("--max-gt", type=int, default=100,
+                    help="instance count of the dense images")
     ap.add_argument("--ims-per-device", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", dest="set_cfgs", nargs="+", default=[],
+                    metavar="KEY VALUE",
+                    help="extra config override pairs forwarded to both "
+                         "drivers (bare pairs; the drivers add --set)")
     ap.add_argument("--min-ap", type=float, default=0.05,
                     help="AP@[0.5:0.95] gate on the synthetic minival")
     ap.add_argument("--skip-lg", action="store_true",
@@ -87,8 +99,15 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     shutil.rmtree(osp.join(workdir, "cache"), ignore_errors=True)
 
+    if len(args.set_cfgs) % 2:
+        ap.error("--set takes KEY VALUE pairs (got an odd count)")
+
     from make_synthetic_coco import make_synthetic_coco
     out = make_synthetic_coco(workdir, n_train=args.train_images,
+                              n_valminusminival=args.val_images,
+                              n_minival=args.val_images,
+                              max_gt=args.max_gt,
+                              base_hw=tuple(args.base_hw),
                               seed=args.seed)
     for split, ds in out.items():
         print(f"[rehearsal] {split}: {len(ds['images'])} images, "
@@ -99,6 +118,7 @@ def main():
     sets = ["DATA_DIR", workdir, "ROOT_DIR", workdir,
             "TPU.IMS_PER_DEVICE", str(args.ims_per_device),
             "TRAIN.SNAPSHOT_ITERS", str(max(args.iters, 1000))]
+    sets += args.set_cfgs
     env = {"FRCNN_ITERS": str(args.iters),
            "FRCNN_STEPSIZE": f"[{10**9}]",   # no decay over the drill
            "FRCNN_WEIGHT": "",               # random init: no hosted ckpt
