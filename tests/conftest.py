@@ -19,6 +19,15 @@ import jax  # noqa: E402
 # jax_platforms before env vars are read; override it back to CPU here.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: XLA CPU compiles of the full detector take
+# minutes per shape on this class of host; identical programs recur across
+# tests, subprocess workers (test_multihost.py), and suite re-runs. Keyed
+# on the optimized HLO, so code changes invalidate exactly the programs
+# they touch.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/tf_frcnn_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

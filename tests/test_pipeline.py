@@ -566,6 +566,7 @@ def test_coco_rehearsal_chain_smoke(tmp_path):
     assert float(evaluator.stats[0]) == ap
 
 
+@pytest.mark.slow
 def test_coco_rehearsal_driver_invocation(tmp_path):
     """Drive tools/coco_rehearsal.py THROUGH the real shell drivers at toy
     shapes on CPU — the in-process smoke above validates the engine chain
@@ -591,8 +592,9 @@ def test_coco_rehearsal_driver_invocation(tmp_path):
          '--net', 'mobile', '--iters', '4', '--train-images', '4',
          '--val-images', '2', '--max-gt', '8', '--base-hw', '96', '128',
          '--ims-per-device', '2', '--skip-lg', '--min-ap', '0',
+         '--no-record',
          '--workdir', str(tmp_path / 'wd'), '--set'] + tiny_sets,
-        cwd=repo, capture_output=True, text=True, timeout=1200)
+        cwd=repo, capture_output=True, text=True, timeout=2400)
     tail = proc.stdout[-3000:] + proc.stderr[-3000:]
     assert proc.returncode == 0, tail
     assert '[rehearsal] PASS' in proc.stdout, tail

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tf_faster_rcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+from tf_faster_rcnn_tpu.ops.boxes import (BBOX_XFORM_CLIP,
+                                          bbox_transform_inv, clip_boxes)
 from tf_faster_rcnn_tpu.ops.nms import nms_keep_mask, sorted_nms
 
 __all__ = ["postprocess_detections", "multiclass_nms"]
@@ -94,7 +95,8 @@ def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
 
     boxes = rois / im_info[:, 2][:, None, None]      # back to orig coords
     if bbox_reg:
-        pred = bbox_transform_inv(boxes, bbox_pred)  # [B, R, 4K]
+        pred = bbox_transform_inv(boxes, bbox_pred,
+                                  xform_clip=BBOX_XFORM_CLIP)  # [B, R, 4K]
         pred = clip_boxes(pred, orig_hw)
     else:
         # TEST.BBOX_REG=False: every class scores the raw proposal box

@@ -23,13 +23,36 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["ConvSame", "FrozenBatchNorm", "max_pool_same", "normal_init",
-           "mask_valid", "shrink_valid"]
+           "stem_init", "mask_valid", "shrink_valid"]
 
 
 def normal_init(stddev: float, truncated: bool = False):
     if truncated:
         return nn.initializers.truncated_normal(stddev=stddev)
     return nn.initializers.normal(stddev=stddev)
+
+
+def stem_init(pixel_std: float = 128.0):
+    """He init rescaled for raw-pixel inputs — FROM-SCRATCH stems only.
+
+    The input convention (reference lib/utils/blob.py:33-47) is
+    mean-subtracted BGR pixels, magnitude O(100). A pretrained slim stem
+    absorbs that scale — its first BN's moving variance is O(pixel^2)
+    (resnet), or the import surgery folds a 2/255 factor into conv1
+    (mobilenet_v1.py:266-278) — but a FROM-SCRATCH net under frozen
+    identity-BN does not: plain He init propagates O(100) activations
+    through every (positively-homogeneous) layer, the 0.01-std RPN/head
+    initializers then emit logits/deltas of magnitude ~50-100, exp() in the
+    box decode sits at the f32 overflow boundary, and head-weight updates
+    are ~20x the weights' own scale per step — the res101 COCO-rehearsal
+    NaN at iter 4 (experiments/logs/...rehearsal.2026-08-20_04-14-53.log).
+
+    Dividing the FIRST conv's init by pixel_std starts the whole net in the
+    O(1) activation regime a pretrained checkpoint would produce. Loading
+    any checkpoint overwrites the init, so fine-tuning parity is untouched.
+    """
+    return nn.initializers.variance_scaling(
+        2.0 / (pixel_std * pixel_std), "fan_in", "truncated_normal")
 
 
 def same_padding(kernel: int, stride: int):

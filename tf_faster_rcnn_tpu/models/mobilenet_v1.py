@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tf_faster_rcnn_tpu.models.layers import (ConvSame, FrozenBatchNorm,
-                                              mask_valid, shrink_valid)
+                                              mask_valid, shrink_valid,
+                                              stem_init)
 
 __all__ = ["MobileNetV1Head", "MobileNetV1Tail", "CONV_DEFS", "trainable_filter"]
 
@@ -87,8 +88,13 @@ class _Layers(nn.Module):
             if sep:
                 x = _SepConv(d, stride, dtype=self.dtype, name=name)(x)
             else:
+                # conv2d_0: from-scratch init absorbs the raw-pixel scale —
+                # the analog of the import surgery folding 2/255 into conv1
+                # (reference mobilenet_v1.py:266-278); checkpoint loads
+                # overwrite it (layers.stem_init)
+                kw = {"kernel_init": stem_init()} if i == 0 else {}
                 x = ConvSame(d, 3, stride, use_bias=False, dtype=self.dtype,
-                             name=name)(x)
+                             name=name, **kw)(x)
                 x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
                                     name=name + "_bn")(x)
                 x = jnp.minimum(nn.relu(x), 6.0)

@@ -27,7 +27,8 @@ from tf_faster_rcnn_tpu.models import mobilenet_v1, resnet_v1, vgg16
 from tf_faster_rcnn_tpu.models.layers import normal_init
 from tf_faster_rcnn_tpu.models.targets import anchor_target, proposal_target
 from tf_faster_rcnn_tpu.ops.anchors import anchor_grid
-from tf_faster_rcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+from tf_faster_rcnn_tpu.ops.boxes import (BBOX_XFORM_CLIP,
+                                          bbox_transform_inv, clip_boxes)
 from tf_faster_rcnn_tpu.ops.nms import sorted_nms
 from tf_faster_rcnn_tpu.ops.roi_align import roi_crop_pool
 
@@ -211,7 +212,8 @@ class FasterRCNN(nn.Module):
         cy, cx = cell // fw, cell % fw
 
         def one(deltas, scores, info, i):
-            boxes = bbox_transform_inv(anchors, deltas)
+            boxes = bbox_transform_inv(anchors, deltas,
+                                       xform_clip=BBOX_XFORM_CLIP)
             boxes = clip_boxes(boxes, info[:2])
             avalid = ((cy < jnp.ceil(info[0] / s.feat_stride)) &
                       (cx < jnp.ceil(info[1] / s.feat_stride)))

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tf_faster_rcnn_tpu.models.layers import (ConvSame, FrozenBatchNorm,
-                                              mask_valid, shrink_valid)
+                                              mask_valid, shrink_valid,
+                                              stem_init)
 
 __all__ = ["ResNetV1Head", "ResNetV1Tail", "BLOCK_UNITS", "trainable_filter"]
 
@@ -169,10 +170,14 @@ class ResNetV1Head(nn.Module):
                 f"[B, H/2, W/2, 12] input, got {x.shape}")
             x = nn.Conv(64, (4, 4), strides=(1, 1),
                         padding=((2, 1), (2, 1)), use_bias=False,
-                        dtype=self.dtype, name="conv1")(x)
+                        kernel_init=stem_init(), dtype=self.dtype,
+                        name="conv1")(x)
         else:
-            x = ConvSame(64, 7, 2, use_bias=False, dtype=self.dtype,
-                         name="conv1")(x)
+            # stem_init: raw-pixel-scale inputs -> O(1) activations when no
+            # checkpoint is loaded (frozen identity-BN cannot normalize);
+            # any checkpoint load overwrites it (layers.stem_init)
+            x = ConvSame(64, 7, 2, use_bias=False, kernel_init=stem_init(),
+                         dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="conv1_bn")(x)
         x = nn.relu(x)
         if valid_hw is not None:

@@ -31,10 +31,16 @@ class VGG16Head(nn.Module):
         output is exactly what the reference computes on the unpadded
         image, independent of canvas size."""
         from tf_faster_rcnn_tpu.models.layers import mask_valid, shrink_valid
+        from tf_faster_rcnn_tpu.models.layers import stem_init
         for i, (reps, width, name) in enumerate(_CFG):
             for r in range(reps):
+                # conv1_1 init absorbs the raw-pixel input scale so a
+                # FROM-SCRATCH net starts at O(1) activations; checkpoint
+                # loads overwrite it (layers.stem_init)
+                kinit = (stem_init() if i == 0 and r == 0
+                         else nn.linear.default_kernel_init)
                 x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
-                            name=f"{name}_{r + 1}")(x)
+                            kernel_init=kinit, name=f"{name}_{r + 1}")(x)
                 x = nn.relu(x)
                 if valid_hw is not None:
                     x = mask_valid(x, valid_hw)

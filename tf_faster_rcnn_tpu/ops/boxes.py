@@ -11,7 +11,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["bbox_transform", "bbox_transform_inv", "clip_boxes", "bbox_overlaps"]
+__all__ = ["bbox_transform", "bbox_transform_inv", "clip_boxes",
+           "bbox_overlaps", "BBOX_XFORM_CLIP"]
+
+# Max dw/dh the MODEL decode paths accept before exp(): log(1000/16), the
+# Detectron convention — a box may grow at most 62.5x in one decode. The
+# reference decode has no clamp (lib/model/bbox_transform.py:35-65), but a
+# trained net's raw deltas stay |d| < ~3 (normalized targets, stds 0.2), so
+# the clamp never binds on checkpoint-parity paths; it only bounds exp()
+# for untrained/diverging nets where inf boxes would poison NMS/crop
+# (PARITY.md records the deviation). Callers that need exact reference
+# numerics on arbitrary inputs (the TF differential suite) leave it off.
+BBOX_XFORM_CLIP = float(jnp.log(1000.0 / 16.0))
 
 
 def bbox_transform(ex_rois, gt_rois):
@@ -36,11 +47,13 @@ def bbox_transform(ex_rois, gt_rois):
     return jnp.stack([dx, dy, dw, dh], axis=-1)
 
 
-def bbox_transform_inv(boxes, deltas):
+def bbox_transform_inv(boxes, deltas, xform_clip=None):
     """Decode regression deltas against boxes.
 
     boxes: [..., N, 4]; deltas: [..., N, 4*K] (per-class K stride-4 layout, as
     in the reference's bbox_pred head) or [..., N, 4].
+    xform_clip: optional cap on dw/dh before exp() (see BBOX_XFORM_CLIP);
+    None reproduces the reference decode exactly.
     Returns boxes of the same shape as deltas.
     """
     boxes = boxes.astype(deltas.dtype)
@@ -53,6 +66,9 @@ def bbox_transform_inv(boxes, deltas):
     dy = deltas[..., 1::4]
     dw = deltas[..., 2::4]
     dh = deltas[..., 3::4]
+    if xform_clip is not None:
+        dw = jnp.minimum(dw, xform_clip)
+        dh = jnp.minimum(dh, xform_clip)
 
     pred_cx = dx * widths[..., None] + ctr_x[..., None]
     pred_cy = dy * heights[..., None] + ctr_y[..., None]

@@ -28,6 +28,7 @@ Usage (v5e chip, ~6 min):
 
 import argparse
 import glob
+import json
 import os
 import os.path as osp
 import pickle
@@ -35,10 +36,34 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import time
 
 import _init_paths  # noqa: F401
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def record_result(payload):
+    """Driver-visible artifact: REHEARSAL_r{N}.json at the repo root (N =
+    current round, inferred from the newest BENCH_r*.json) + a PROGRESS
+    line. A red rehearsal can no longer end a round unrecorded (round 3
+    ended on an unlogged NaN divergence; VERDICT r3 'Next' #3)."""
+    rounds = [int(p.rsplit("_r", 1)[1].split(".")[0])
+              for p in glob.glob(osp.join(REPO, "BENCH_r*.json"))]
+    n = (max(rounds) + 1) if rounds else 1
+    path = osp.join(REPO, f"REHEARSAL_r{n:02d}.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(payload, f)
+            f.write("\n")
+        with open(osp.join(REPO, "PROGRESS.jsonl"), "a") as f:
+            json.dump({"ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+                       "event": "coco_rehearsal",
+                       **payload}, f)
+            f.write("\n")
+        print(f"[rehearsal] result recorded in {path}")
+    except OSError as e:  # read-only checkout: still print the record
+        print(f"[rehearsal] could not record result ({e}): {payload}")
 
 
 def run_driver(script, devices, net, workdir, extra_sets, env_extra):
@@ -92,15 +117,29 @@ def main():
                     help="skip the res101-lg-shape second eval")
     ap.add_argument("--workdir", default=None,
                     help="keep artifacts here (default: fresh temp dir)")
+    ap.add_argument("--no-record", action="store_true",
+                    help="skip the REHEARSAL_r*.json/PROGRESS record "
+                         "(CI toy invocations)")
     args = ap.parse_args()
+
+    # KEY=VALUE tokens are split into pairs (lets values that start with a
+    # dash through argparse); validate BEFORE any workdir is created so a
+    # usage error cannot leak a temp dir
+    set_cfgs = []
+    for tok in args.set_cfgs:
+        if len(set_cfgs) % 2 == 0 and "=" in tok:  # KEY position
+            set_cfgs.extend(tok.split("=", 1))
+        else:
+            set_cfgs.append(tok)
+    if len(set_cfgs) % 2:
+        ap.error("--set takes KEY VALUE pairs or KEY=VALUE tokens "
+                 "(got an odd count)")
+    args.set_cfgs = set_cfgs
 
     workdir = osp.abspath(args.workdir or
                           tempfile.mkdtemp(prefix="coco_rehearsal_"))
     os.makedirs(workdir, exist_ok=True)
     shutil.rmtree(osp.join(workdir, "cache"), ignore_errors=True)
-
-    if len(args.set_cfgs) % 2:
-        ap.error("--set takes KEY VALUE pairs (got an odd count)")
 
     from make_synthetic_coco import make_synthetic_coco
     out = make_synthetic_coco(workdir, n_train=args.train_images,
@@ -124,22 +163,38 @@ def main():
            "FRCNN_WEIGHT": "",               # random init: no hosted ckpt
            "FRCNN_OUTPUT_ROOT": workdir}
 
-    # train (chains into the res101-cfg eval automatically)
-    run_driver("train_faster_rcnn.sh", args.devices, args.net, workdir,
-               sets, env)
-    ap_std = read_minival_ap(workdir, args.net)
+    result = {"net": args.net, "iters": args.iters, "gate": args.min_ap,
+              "workdir": workdir, "ok": False, "ap_600": None,
+              "ap_lg": None}
+    try:
+        # train (chains into the res101-cfg eval automatically)
+        run_driver("train_faster_rcnn.sh", args.devices, args.net, workdir,
+                   sets, env)
+        ap_std = read_minival_ap(workdir, args.net)
+        result["ap_600"] = ap_std
 
-    ap_lg = None
-    if not args.skip_lg:
-        env_lg = dict(env,
-                      FRCNN_CFG=f"experiments/cfgs/{args.net}-lg.yml")
-        run_driver("test_faster_rcnn.sh", args.devices, args.net, workdir,
-                   sets, env_lg)
-        ap_lg = read_minival_ap(workdir, f"{args.net}-lg")
+        ap_lg = None
+        if not args.skip_lg:
+            env_lg = dict(env,
+                          FRCNN_CFG=f"experiments/cfgs/{args.net}-lg.yml")
+            run_driver("test_faster_rcnn.sh", args.devices, args.net,
+                       workdir, sets, env_lg)
+            ap_lg = read_minival_ap(workdir, f"{args.net}-lg")
+            result["ap_lg"] = ap_lg
+    except (subprocess.CalledProcessError, SystemExit) as e:
+        result["error"] = str(e)
+        if not args.no_record:
+            record_result(result)
+        print(f"[rehearsal] FAIL: driver chain died: {e}")
+        print(f"[rehearsal] artifacts retained: {workdir}")
+        sys.exit(1)
 
     print(f"[rehearsal] minival AP@[0.5:0.95]: {args.net}={ap_std:.4f}"
           + (f"  {args.net}-lg={ap_lg:.4f}" if ap_lg is not None else ""))
     ok = ap_std >= args.min_ap and (ap_lg is None or ap_lg >= args.min_ap)
+    result["ok"] = bool(ok)
+    if not args.no_record:
+        record_result(result)
     print(f"[rehearsal] {'PASS' if ok else 'FAIL'} (gate {args.min_ap})")
     if not args.workdir:
         if ok:
