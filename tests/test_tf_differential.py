@@ -144,6 +144,38 @@ def _prop_cases(rng):
     return cases
 
 
+def _post_cases(rng):
+    """(rois [R,4], deltas [R,4K], boxes [R,4K], scores [R,K], hw,
+    max_per, nms_thr, score_thr) covering the test-engine detection
+    protocol at detection-like shapes. ``boxes`` is decode(rois, deltas)
+    clipped — computed with the framework's own f32 ops so the oracle and
+    postprocess_detections see the same per-class boxes bit-for-bit (the
+    decode itself is differentially pinned by the prop{i} cases)."""
+    cases = []
+
+    def make(r, k, max_per, nms_thr, score_thr, w=600.0, h=400.0):
+        x1 = rng.uniform(0, w - 80, r)
+        y1 = rng.uniform(0, h - 80, r)
+        rois = np.stack([x1, y1, x1 + rng.uniform(8, 79, r),
+                         y1 + rng.uniform(8, 79, r)], 1).astype(np.float32)
+        deltas = (rng.randn(r, 4 * k) * 0.25).astype(np.float32)
+        boxes = np.asarray(clip_boxes(
+            bbox_transform_inv(rois, deltas), (h, w)), np.float32)
+        # distinct scores everywhere (greedy order unambiguous; equal-score
+        # tie-breaking is the one place TF and the reference Cython sort
+        # can legally differ), roughly normalized per row
+        raw = rng.permutation(r * k).reshape(r, k).astype(np.float32) + 1.0
+        scores = (raw / raw.sum(1, keepdims=True)).astype(np.float32)
+        return (rois, deltas, boxes, scores, (h, w), max_per, nms_thr,
+                score_thr)
+
+    cases.append(make(300, 21, 100, 0.3, 0.0))   # the VOC defaults
+    cases.append(make(1000, 81, 100, 0.3, 0.0))  # COCO res101-lg shapes
+    cases.append(make(50, 5, 100, 0.3, 0.0))     # fewer candidates than cap
+    cases.append(make(200, 21, 20, 0.5, 0.01))   # tight cap + score thresh
+    return cases
+
+
 @pytest.fixture(scope="module")
 def oracle(tmp_path_factory):
     """Build every case, run the TF subprocess once, return (cases, results)."""
@@ -151,8 +183,13 @@ def oracle(tmp_path_factory):
     crops = _crop_cases(rng)
     nmss = _nms_cases(rng)
     props = _prop_cases(rng)
+    posts = _post_cases(rng)
 
     blob = {}
+    for i, (_, _, boxes, scores, _, max_per, thr, sthr) in enumerate(posts):
+        blob[f"post{i}_boxes"] = boxes
+        blob[f"post{i}_scores"] = scores
+        blob[f"post{i}_params"] = np.array([max_per, thr, sthr], np.float32)
     for i, (img, boxes, size) in enumerate(crops):
         blob[f"crop{i}_image"] = img
         blob[f"crop{i}_boxes"] = boxes
@@ -175,7 +212,7 @@ def oracle(tmp_path_factory):
         [sys.executable, str(HERE / "tf_oracle.py"), str(src), str(dst)],
         capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, f"tf_oracle failed:\n{proc.stderr[-4000:]}"
-    return {"crop": crops, "nms": nmss, "prop": props,
+    return {"crop": crops, "nms": nmss, "prop": props, "post": posts,
             "out": dict(np.load(dst))}
 
 
@@ -201,6 +238,64 @@ def test_sorted_nms_matches_real_tf(oracle):
             f"nms case {i}: {len(got)} survivors vs TF's {len(want)}")
         np.testing.assert_array_equal(
             got, want, err_msg=f"nms case {i} keep order diverges from TF")
+
+
+def test_crop_and_resize_bf16_drift_bounded(oracle):
+    """VERDICT r3 #6a: the production path feeds bf16 feature maps into the
+    crop kernel while TF computes f32 — bound the drift that path actually
+    incurs. bf16 has an 8-bit mantissa (quantum 2^-8 of the value); the
+    separable bilinear crop does 2 weighted sums, so per-sample error stays
+    within a few bf16 quanta of the feature magnitude."""
+    import jax.numpy as jnp
+    for i, (img, boxes, size) in enumerate(oracle["crop"]):
+        want = oracle["out"][f"crop{i}_out"]
+        got = np.asarray(crop_and_resize(
+            jnp.asarray(img, jnp.bfloat16), boxes, size,
+            method="einsum"), np.float32)
+        scale = max(1.0, float(np.abs(img).max()))
+        err = np.abs(got - want).max() / scale
+        assert err < 6.0 / 256.0, (
+            f"crop case {i}: bf16 drift {err:.5f} of feature scale "
+            f"exceeds the expected few-bf16-quanta bound")
+
+
+def test_detection_protocol_matches_reference_loop_with_real_tf_nms(oracle):
+    """VERDICT r3 #6b: the whole test-engine protocol of
+    postprocess_detections (strict > score threshold, per-class TEST.NMS,
+    global max_per_image cap; lib/model/test.py:160-180) vs the reference's
+    own loop executed with REAL tf.image.non_max_suppression as the engine.
+    The NMS engine is held equal on both sides (plus_one=False -> standard
+    IoU like TF; the +1 engine itself is pinned by the C++ oracle suite),
+    so any mismatch is a protocol bug: class slicing, score handling, cap
+    or ordering semantics."""
+    from tf_faster_rcnn_tpu.engine.detect import postprocess_detections
+    for i, (rois, deltas, boxes, scores, hw, max_per, thr, sthr) in \
+            enumerate(oracle["post"]):
+        want = oracle["out"][f"post{i}_dets"]       # [D, 6] per-class order
+        r, k = scores.shape
+        h, w = hw
+        det, dv = postprocess_detections(
+            rois[None], np.ones((1, r), bool), scores[None], deltas[None],
+            np.array([[h, w, 1.0]], np.float32),
+            np.array([[h, w]], np.float32),
+            num_classes=k, max_per_image=int(max_per),
+            nms_thresh=float(thr), score_thresh=float(sthr),
+            use_pallas=False, plus_one=False)
+        got = np.asarray(det)[0][np.asarray(dv)[0]]
+        assert got.shape[1] == 6
+        # compare as score-descending sets (ours is globally sorted, the
+        # reference loop is per-class ordered)
+        want_sorted = want[np.argsort(-want[:, 1], kind="stable")]
+        got_sorted = got[np.argsort(-got[:, 1], kind="stable")]
+        assert len(got_sorted) == len(want_sorted), (
+            f"post case {i}: {len(got_sorted)} dets vs reference protocol's "
+            f"{len(want_sorted)}")
+        np.testing.assert_allclose(
+            got_sorted[:, :2], want_sorted[:, :2], rtol=1e-6, atol=1e-6,
+            err_msg=f"post case {i}: class/score columns diverge")
+        np.testing.assert_allclose(
+            got_sorted[:, 2:], want_sorted[:, 2:], rtol=1e-5, atol=1e-4,
+            err_msg=f"post case {i}: box columns diverge")
 
 
 def test_proposal_chain_matches_reference_tf_branch(oracle):

@@ -11,6 +11,12 @@ keyed by array-name prefix:
   [max_out, iou_thresh] -> ``nms{i}_idx`` from
   ``tf.image.non_max_suppression`` — the op behind the reference's default
   E2E proposal path (lib/layer_utils/proposal_layer.py:72).
+* ``post{i}_``: boxes [R,4K] (pre-decoded per-class), scores [R,K], params
+  [max_per_image, nms_thresh, score_thresh] -> ``post{i}_dets`` [D,6] as
+  (cls, score, x1, y1, x2, y2) — the reference's ENTIRE test-time
+  detection protocol (lib/model/test.py:160-180: strict > score threshold,
+  per-class NMS, max_per_image cap as a score threshold) executed with
+  real ``tf.image.non_max_suppression`` as the engine.
 * ``prop{i}_``: anchors [N,4], deltas [N,4], scores [N], iminfo [3],
   params [post_nms, iou_thresh] -> ``prop{i}_boxes`` [K,4] and
   ``prop{i}_scores`` [K], produced by the REFERENCE'S OWN TF functions
@@ -74,6 +80,34 @@ def main():
                 a("boxes"), a("scores"),
                 max_output_size=int(max_out), iou_threshold=float(thresh))
             out[f"{tag}_idx"] = keep.numpy().astype(np.int32)
+        elif tag.startswith("post"):
+            # The reference's whole test-time detection protocol
+            # (lib/model/test.py:160-180) run over REAL TF NMS: per-class
+            # strict score threshold, per-class NMS at TEST.NMS, then the
+            # global max_per_image cap realized as a score threshold.
+            # Inputs are pre-decoded per-class boxes (decode/clip is the
+            # prop{i}_ kind's business).
+            boxes = a("boxes")          # [R, 4K]
+            scores = a("scores")        # [R, K]
+            max_per, nms_thr, score_thr = a("params")
+            k = scores.shape[1]
+            all_dets = []
+            for j in range(1, k):
+                inds = np.where(scores[:, j] > score_thr)[0]
+                cls_boxes = boxes[inds, j * 4:(j + 1) * 4]
+                cls_scores = scores[inds, j]
+                keep = tf.image.non_max_suppression(
+                    cls_boxes, cls_scores,
+                    max_output_size=len(inds),
+                    iou_threshold=float(nms_thr)).numpy()
+                for kk in keep:
+                    all_dets.append((float(j), float(cls_scores[kk]),
+                                     *cls_boxes[kk].tolist()))
+            dets = np.array(all_dets, np.float32).reshape(-1, 6)
+            if max_per > 0 and len(dets) > int(max_per):
+                image_thresh = np.sort(dets[:, 1])[-int(max_per)]
+                dets = dets[dets[:, 1] >= image_thresh]
+            out[f"{tag}_dets"] = dets
         elif tag.startswith("prop"):
             post_nms, thresh = a("params")
             proposals = bbox_transform_inv_tf(

@@ -71,13 +71,15 @@ def multiclass_nms(boxes, scores, valid, nms_thresh, *, plus_one=True,
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "max_per_image",
                                              "nms_thresh", "score_thresh",
-                                             "use_pallas", "bbox_reg"))
+                                             "use_pallas", "bbox_reg",
+                                             "plus_one"))
 def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
                            orig_hw, *, num_classes: int,
                            max_per_image: int = 100,
                            nms_thresh: float = 0.3,
                            score_thresh: float = 0.0,
                            use_pallas=None,
+                           plus_one: bool = True,
                            bbox_reg: bool = True):
     """Full batched postprocess.
 
@@ -118,7 +120,10 @@ def postprocess_detections(rois, roi_valid, cls_prob, bbox_pred, im_info,
     sb = jnp.take_along_axis(fb, order[..., None], axis=1)
     sv = top_s > neg / 2
 
-    keep = _batched_keep(sb, sv, nms_thresh, plus_one=True,
+    # plus_one=True is the reference engine (gpu/cpu Cython NMS, +1 IoU);
+    # False switches to the standard-IoU engine (tf.image.non_max_
+    # suppression semantics) — used by the TF differential protocol test
+    keep = _batched_keep(sb, sv, nms_thresh, plus_one=plus_one,
                          use_pallas=use_pallas)   # [G, R] sorted order
 
     masked = jnp.where(keep, top_s, -jnp.inf)         # sorted order
