@@ -64,11 +64,11 @@ def main():
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    # shared persistent compile cache (see conftest.py): repeat worker
-    # spawns skip the multi-minute XLA CPU compiles entirely
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/tf_frcnn_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NO persistent compile cache here: AOT-loaded XLA:CPU executables
+    # embed gloo collective-context uids, and a cache hit on one process
+    # vs a fresh compile on another desyncs the context numbering -> both
+    # sides stall in "Gloo context initialization failed" (reproduced on
+    # this host; dist.initialize also force-disables the cache under gloo)
 
     from tf_faster_rcnn_tpu.parallel import dist
     dist.initialize(coordinator_address=f"localhost:{port}",

@@ -238,12 +238,23 @@ def test_net(model, spec, params, imdb, weights_filename,
                                            num_classes, num_images,
                                            token=run_token)
         if all_boxes is None:  # non-coordinator: part written, done
+            # align with the coordinator's merge + dataset evaluation so a
+            # caller that resumes collective work (in-training eval) cannot
+            # run >30 s ahead into a fresh gloo context init
+            # (parallel/dist.py::barrier). Token-scoped: concurrent evals
+            # in one process group cannot cross-release.
+            from tf_faster_rcnn_tpu.parallel import dist
+            dist.barrier(f"testnet_{run_token}", timeout_ms=1_800_000)
             return None
     with open(det_file, 'wb') as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
 
     print('Evaluating detections')
-    return imdb.evaluate_detections(all_boxes, output_dir)
+    mean = imdb.evaluate_detections(all_boxes, output_dir)
+    if pcount > 1:
+        from tf_faster_rcnn_tpu.parallel import dist
+        dist.barrier(f"testnet_{run_token}", timeout_ms=1_800_000)
+    return mean
 
 
 def _merge_multihost_parts(det_file, all_boxes, pid, pcount, num_classes,

@@ -402,6 +402,12 @@ class SolverWrapper(object):
                         jax.device_get(state.params), it)
                     self.tb_writer.flush()
                     self.tb_writer_val.flush()
+                if pcount > 1:
+                    # coordinator-only writer work above can take tens of
+                    # seconds; re-align before anyone creates the next
+                    # communicator (parallel/dist.py::barrier)
+                    from tf_faster_rcnn_tpu.parallel import dist
+                    dist.barrier(f"summary_{it}")
                 last_summary_time = now
 
             if it % cfg.TRAIN.DISPLAY == 0 and self._is_coord:
@@ -423,6 +429,15 @@ class SolverWrapper(object):
 
             if eval_iters and it % eval_iters == 0:
                 self._eval_map(state, it, writer)
+                if pcount > 1:
+                    # the coordinator spends unbounded host time merging
+                    # parts + running the dataset evaluation + saving best
+                    # params while the other processes return to training;
+                    # without this alignment the fast side hits the ~30 s
+                    # gloo context-init deadline at its next fresh
+                    # communicator (parallel/dist.py::barrier)
+                    from tf_faster_rcnn_tpu.parallel import dist
+                    dist.barrier(f"eval_{it}")
 
         if profiling:  # loop ended inside the trace window
             jax.profiler.stop_trace()

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 
 __all__ = ["initialize", "is_initialized", "process_index", "process_count",
-           "local_slice", "on_coordinator"]
+           "local_slice", "on_coordinator", "barrier"]
 
 _INITIALIZED = False
 
@@ -61,6 +61,18 @@ def initialize(coordinator_address: Optional[str] = None,
     if cpu_collectives:
         jax.config.update("jax_cpu_collectives_implementation",
                           cpu_collectives)
+        if cpu_collectives == "gloo" and \
+                jax.config.jax_compilation_cache_dir:
+            # XLA:CPU AOT results deserialized from the persistent cache
+            # embed gloo collective-context uids; a cache hit on one
+            # process vs a fresh compile on another desyncs the context
+            # numbering and every later communicator init deadlocks
+            # ("Gloo context initialization failed", reproduced in
+            # tests/test_multihost.py on this host). TPU backends don't
+            # have this hazard; disable the cache only for gloo runs.
+            print("[dist] persistent compilation cache disabled for "
+                  "gloo CPU collectives")
+            jax.config.update("jax_compilation_cache_dir", None)
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -83,6 +95,29 @@ def on_coordinator() -> bool:
     """True on the process that owns host-side side effects (snapshots,
     metrics, TensorBoard events)."""
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes via the COORDINATION SERVICE (gRPC), not a
+    device collective.
+
+    Needed wherever one process does long host-only work (the coordinator's
+    eval merge + dataset evaluation, summary writers) while the others run
+    ahead into collective-bearing code: creating a fresh gloo/ICI
+    communicator has a hard ~30 s init deadline
+    (GlooCollectives GetKeyValue), so unbounded process skew turns into
+    'Gloo context initialization failed: DEADLINE_EXCEEDED' on whichever
+    side reaches a new context first (reproduced by
+    tests/test_multihost.py's in-training eval on a 1-CPU host). This
+    barrier has a configurable long timeout and touches no device state.
+    No-op in single-process runs.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_ms))
 
 
 def local_slice(global_batch: int) -> slice:

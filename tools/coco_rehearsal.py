@@ -47,14 +47,25 @@ def record_result(payload):
     """Driver-visible artifact: REHEARSAL_r{N}.json at the repo root (N =
     current round, inferred from the newest BENCH_r*.json) + a PROGRESS
     line. A red rehearsal can no longer end a round unrecorded (round 3
-    ended on an unlogged NaN divergence; VERDICT r3 'Next' #3)."""
+    ended on an unlogged NaN divergence; VERDICT r3 'Next' #3).
+
+    The file holds one entry PER NET ({"res101": {...}, "mobile": {...}})
+    so a later run of another backbone cannot clobber an earlier result.
+    """
     rounds = [int(p.rsplit("_r", 1)[1].split(".")[0])
               for p in glob.glob(osp.join(REPO, "BENCH_r*.json"))]
     n = (max(rounds) + 1) if rounds else 1
     path = osp.join(REPO, f"REHEARSAL_r{n:02d}.json")
     try:
+        merged = {}
+        if osp.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+            # migrate a flat single-run record into the per-net form
+            merged = old if "net" not in old else {old["net"]: old}
+        merged[payload["net"]] = payload
         with open(path, "w") as f:
-            json.dump(payload, f)
+            json.dump(merged, f)
             f.write("\n")
         with open(osp.join(REPO, "PROGRESS.jsonl"), "a") as f:
             json.dump({"ts": time.strftime("%Y-%m-%d %H:%M:%S"),
@@ -174,6 +185,13 @@ def main():
         result["ap_600"] = ap_std
 
         ap_lg = None
+        lg_cfg = osp.join(REPO, "experiments", "cfgs", f"{args.net}-lg.yml")
+        if not args.skip_lg and not osp.exists(lg_cfg):
+            # the reference ships only res101-lg.yml (its FPN-ish config);
+            # for other backbones there is no -lg recipe to rehearse
+            print(f"[rehearsal] no {args.net}-lg.yml — skipping the "
+                  f"large-config second eval")
+            args.skip_lg = True
         if not args.skip_lg:
             env_lg = dict(env,
                           FRCNN_CFG=f"experiments/cfgs/{args.net}-lg.yml")
