@@ -505,7 +505,7 @@ print("TRAIN_RETURNED", flush=True)
     assert found is not None and found[0] >= 2
 
 
-def test_coco_rehearsal_chain_smoke(tmp_path):
+def test_coco_rehearsal_chain_smoke(tmp_path, capsys):
     """The COCO-scale rehearsal chain (tools/coco_rehearsal.py) at toy
     shapes on CPU: 81-class synthetic devkit (non-contiguous category ids,
     crowd regions, dense-gt images, both orientations) -> combined
@@ -547,6 +547,9 @@ def test_coco_rehearsal_chain_smoke(tmp_path):
                       str(tmp_path / 'coco_train_out'),
                       str(tmp_path / 'coco_tb'), max_iters=3)
     assert int(state.step) == 3
+    # from-scratch + frozen prefix = a permanent random projection; the
+    # loop must call that out (train_loop.py, from-scratch warning)
+    assert 'MOBILENET.FIXED_LAYERS' in capsys.readouterr().out
 
     import jax
     from tf_faster_rcnn_tpu.engine.test_engine import test_net

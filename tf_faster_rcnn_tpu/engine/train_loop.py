@@ -147,6 +147,26 @@ class SolverWrapper(object):
             params = load_pretrained_into(params, self.pretrained_model,
                                           self.net_name)
             print(f"Loaded pretrained weights from {self.pretrained_model}")
+        else:
+            # The frozen-prefix knobs exist to PRESERVE pretrained features
+            # (reference resnet_v1.py:88-113 / mobilenet_v1.py:114). From
+            # random init there is nothing to preserve: a frozen random
+            # prefix is a fixed lossy projection the rest of the net can
+            # never repair (mobilenet's residual-free separable stem loses
+            # far more than resnet's, whose identity paths bypass the
+            # frozen blocks). Warn loudly instead of silently training a
+            # handicapped model.
+            for match, knob, n in (
+                    ("res", "RESNET.FIXED_BLOCKS", self.spec.fixed_blocks),
+                    ("mobile", "MOBILENET.FIXED_LAYERS",
+                     self.spec.fixed_layers)):
+                if self.net_name.startswith(match) and n > 0:
+                    unit = "blocks" if "BLOCKS" in knob else "layers"
+                    print(f"WARNING: training from RANDOM init with the "
+                          f"first {n} backbone {unit} frozen ({knob}={n}); "
+                          f"the frozen prefix never leaves its random "
+                          f"state. Pass --set {knob} 0 unless this is "
+                          f"deliberate.")
         self.state = create_train_state(self.spec, params,
                                         jax.random.PRNGKey(cfg.RNG_SEED + 1),
                                         batch_size=b)
