@@ -111,3 +111,43 @@ def test_from_scratch_scaled_recipe_deep_nets(net):
     losses, skipped = _run_steps(net)
     assert skipped == 0, f"non-finite steps at the scaled recipe: {losses}"
     assert float(np.mean(losses[-4:])) < float(np.mean(losses[:4])), losses
+
+
+@pytest.mark.parametrize("net", ["vgg16", "res50", "mobile"])
+def test_from_scratch_init_feature_scale(net):
+    """Backbone features at INIT must be O(1) on pixel-scale inputs.
+
+    Divergence (res101 NaN at iter 4) and collapse are the two from-scratch
+    failure flavors, and both are visible at init: O(100) features overflow
+    the decode/updates (fixed by layers.stem_init), while vanishing features
+    starve the 0.01-std heads of signal until they settle into an
+    all-background equilibrium — the mobile rehearsal's measured AP 0.0004
+    (backbone-output std 0.011 from flax's default lecun gain on the
+    pointwise convs: each post-relu conv sheds x0.5 variance and nothing
+    re-normalizes under identity frozen BN). Finite-steps tests cannot see
+    the second flavor — losses stay finite and flat at the bg fixed point —
+    so pin the init scale directly, both-sided.
+    """
+    import dataclasses
+
+    import jax
+    from tf_faster_rcnn_tpu.models.network import (FasterRCNN, extract_head,
+                                                   spec_from_cfg)
+    spec = dataclasses.replace(
+        spec_from_cfg(net, 4, "TEST"),
+        anchor_scales=(2, 4), rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16)
+    model = FasterRCNN(spec)
+    rng = np.random.RandomState(0)
+    h, w = 96, 128
+    # raw-pixel-scale input, mean-subtracted like data/blob.py ships it
+    im = (rng.rand(1, h, w, 3).astype(np.float32) * 255.0
+          ) - cfg.PIXEL_MEANS.reshape(1, 1, 1, 3)
+    info = np.array([[h, w, 1.0]], np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), im, info)
+    feats = np.asarray(extract_head(model, params, im, info[:, :2]),
+                       np.float32)
+    std = float(feats.std())
+    assert 0.05 < std < 20.0, (
+        f"{net} init backbone-output std {std:.4g}: outside the O(1) "
+        f"regime — from-scratch training will diverge (>>1) or collapse "
+        f"to all-background (<<1)")

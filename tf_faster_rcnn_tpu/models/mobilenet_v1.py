@@ -62,7 +62,16 @@ class _SepConv(nn.Module):
         x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
                             name="depthwise_bn")(x)
         x = jnp.minimum(nn.relu(x), 6.0)
+        # He init, like ConvSame's default: under from-scratch identity-BN
+        # nothing restores the variance a relu sheds, and flax's default
+        # lecun gain loses x0.5 per pointwise — (1/sqrt(2))^13 ~= 0.01
+        # backbone-output std, which collapses the 0.01-std heads to an
+        # all-background equilibrium (measured on the v5e mobile rehearsal:
+        # AP 0.0004 with train losses plateaued at the bg fixed point).
+        # Checkpoint loads overwrite it, so fine-tune parity is untouched.
         x = nn.Conv(self.depth, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=nn.initializers.variance_scaling(
+                        2.0, "fan_in", "truncated_normal"),
                     name="pointwise")(x)
         x = FrozenBatchNorm(epsilon=0.001, dtype=self.dtype,
                             name="pointwise_bn")(x)

@@ -35,10 +35,15 @@ class VGG16Head(nn.Module):
         for i, (reps, width, name) in enumerate(_CFG):
             for r in range(reps):
                 # conv1_1 init absorbs the raw-pixel input scale so a
-                # FROM-SCRATCH net starts at O(1) activations; checkpoint
-                # loads overwrite it (layers.stem_init)
+                # FROM-SCRATCH net starts at O(1) activations; the rest use
+                # relu-corrected He gain — with no BN to re-normalize, the
+                # default lecun gain sheds x0.5 variance per post-relu conv
+                # ((1/sqrt 2)^12 ~= 0.01 head-output std, the collapse
+                # flavor measured on mobilenet). Checkpoint loads overwrite
+                # both (layers.stem_init).
                 kinit = (stem_init() if i == 0 and r == 0
-                         else nn.linear.default_kernel_init)
+                         else nn.initializers.variance_scaling(
+                             2.0, "fan_in", "truncated_normal"))
                 x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
                             kernel_init=kinit, name=f"{name}_{r + 1}")(x)
                 x = nn.relu(x)
