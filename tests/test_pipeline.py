@@ -528,6 +528,9 @@ def test_coco_rehearsal_chain_smoke(tmp_path, capsys):
     _tiny_cfg(tmp_path)
     cfg.TRAIN.USE_FLIPPED = False
     cfg.ANCHOR_SCALES = [1, 2, 4]
+    # pin explicitly: the frozen-prefix warning assertion below must not
+    # depend on the process-global default surviving sibling tests
+    cfg.MOBILENET.FIXED_LAYERS = 5
 
     from tf_faster_rcnn_tpu.data.roidb import prepare_roidb
     from tf_faster_rcnn_tpu.datasets.factory import get_imdb

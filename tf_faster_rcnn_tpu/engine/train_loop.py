@@ -167,6 +167,19 @@ class SolverWrapper(object):
                           f"the frozen prefix never leaves its random "
                           f"state. Pass --set {knob} 0 unless this is "
                           f"deliberate.")
+            # the UNCONDITIONAL freezes (no knob controls them): vgg16's
+            # conv1/conv2 (reference vgg16.py:28-32) and the resnet stem
+            # (resnet_v1.py:88-90 — frozen at every FIXED_BLOCKS setting).
+            # Same handicap as above, but there is no flag to turn it off,
+            # so say so rather than suggest one.
+            unconditional = {"vgg16": "conv1/conv2", "res": "conv1 stem"}
+            for match, frozen in unconditional.items():
+                if self.net_name.startswith(match):
+                    print(f"WARNING: {self.net_name}'s {frozen} is ALWAYS "
+                          f"frozen (matching the reference) and will stay "
+                          f"at its random init for this from-scratch run — "
+                          f"a permanent lossy projection of the input. "
+                          f"Use a pretrained model for production quality.")
         self.state = create_train_state(self.spec, params,
                                         jax.random.PRNGKey(cfg.RNG_SEED + 1),
                                         batch_size=b)

@@ -21,6 +21,41 @@ _CFG = [(2, 64, "conv1"), (2, 128, "conv2"), (3, 256, "conv3"),
         (3, 512, "conv4"), (3, 512, "conv5")]
 
 
+def _head_conv_init(block: int, rep: int):
+    """FROM-SCRATCH init for head conv (block, rep): flax's default lecun —
+    deliberately NOT the stem_init/He treatment resnet and mobilenet need.
+
+    vgg16 is the one backbone whose from-scratch activation scale is healthy
+    at the defaults: the mean-subtracted-pixel input is O(100) and the 13
+    post-relu lecun convs each shed ~x(1/sqrt 2) variance, so the two cancel
+    ((1/sqrt 2)^13 ~= 1/90) — measured conv5_3 std 0.78 on toy scenes, well
+    inside the init-scale gate. resnet needs stem_init because its zero-init
+    residual units PRESERVE the stem's O(100) scale to the heads (the round-3
+    rehearsal NaN); mobilenet needs He pointwise gains because its 27-layer
+    relu6 stack decays far past the input scale (the AP-0.0004 collapse).
+    vgg16 has neither pathology, and round 4's uniform treatment measurably
+    regressed it: stem_init (+He convs) makes features input-scale-invariant
+    at a similar magnitude (std 0.55), but the flattened per-layer
+    weight/activation profile saturates the cls head to exact-0 CE within 5
+    toy steps, after which one resampled hard proposal costs CE ~7.7
+    (trailing toy loss 3.28-4.14 vs 1.06 at the defaults —
+    tests/test_recipe_scaling.py's overfit gate caught it). Checkpoint loads
+    overwrite init either way, so fine-tune parity is untouched."""
+    del block, rep
+    return nn.initializers.lecun_normal()
+
+
+def _tail_fc_init():
+    """FROM-SCRATCH init for fc6/fc7: flax default (lecun), same story as
+    _head_conv_init. The two post-relu lecun Denses shed ~x0.25 variance
+    (ADVICE r4 flagged this as potential residual collapse), but measured
+    head-input std is 0.33 — comfortably O(1) — and raising them to He both
+    doubles the L2 floor on the 119M tail params (+0.6 constant in the toy's
+    total loss) and accelerates the cls-head saturation above (trailing toy
+    loss 4.14 vs 1.06)."""
+    return nn.initializers.lecun_normal()
+
+
 class VGG16Head(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
@@ -31,21 +66,11 @@ class VGG16Head(nn.Module):
         output is exactly what the reference computes on the unpadded
         image, independent of canvas size."""
         from tf_faster_rcnn_tpu.models.layers import mask_valid, shrink_valid
-        from tf_faster_rcnn_tpu.models.layers import stem_init
         for i, (reps, width, name) in enumerate(_CFG):
             for r in range(reps):
-                # conv1_1 init absorbs the raw-pixel input scale so a
-                # FROM-SCRATCH net starts at O(1) activations; the rest use
-                # relu-corrected He gain — with no BN to re-normalize, the
-                # default lecun gain sheds x0.5 variance per post-relu conv
-                # ((1/sqrt 2)^12 ~= 0.01 head-output std, the collapse
-                # flavor measured on mobilenet). Checkpoint loads overwrite
-                # both (layers.stem_init).
-                kinit = (stem_init() if i == 0 and r == 0
-                         else nn.initializers.variance_scaling(
-                             2.0, "fan_in", "truncated_normal"))
                 x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
-                            kernel_init=kinit, name=f"{name}_{r + 1}")(x)
+                            kernel_init=_head_conv_init(i, r),
+                            name=f"{name}_{r + 1}")(x)
                 x = nn.relu(x)
                 if valid_hw is not None:
                     x = mask_valid(x, valid_hw)
@@ -72,9 +97,11 @@ class VGG16Tail(nn.Module):
         # pooled: [N, 7, 7, 512] -> flatten in (h, w, c) order, matching
         # slim.flatten so the slim fc6 [7,7,512,4096] kernel reshapes in
         x = pooled.reshape(pooled.shape[0], -1)
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc6")(x))
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc6",
+                             kernel_init=_tail_fc_init())(x))
         x = nn.Dropout(0.5, deterministic=self.deterministic)(x)
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc7")(x))
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc7",
+                             kernel_init=_tail_fc_init())(x))
         x = nn.Dropout(0.5, deterministic=self.deterministic)(x)
         return x
 
