@@ -61,42 +61,78 @@ def run(global_batch=8, steps=2, local_slice=None, restore_path=None,
     DIFFERENT process count). snapshot_dir: after stepping, the coordinator
     writes a snapshot there; its path is returned as the 4th element.
     """
-    import jax
-    import numpy as np
+    return Harness(global_batch).episode(steps, local_slice, restore_path,
+                                         snapshot_dir)
 
-    from tf_faster_rcnn_tpu.engine.train import (create_train_state,
-                                                 lr_schedule, make_train_step)
-    from tf_faster_rcnn_tpu.parallel.mesh import (make_mesh, replicate,
-                                                  shard_batch)
-    from tf_faster_rcnn_tpu.utils import checkpoint as ckpt
 
-    spec, model, params, batch = tiny_setup(global_batch)
-    mesh = make_mesh()
-    state = create_train_state(spec, params, jax.random.PRNGKey(3))
-    if restore_path:
-        state = ckpt.restore(state, restore_path)
-    step_fn = make_train_step(model, spec, weight_decay=1e-4,
-                              mobile_weight_decay=4e-5, donate=False,
-                              lr_fn=lr_schedule(0.001, 0.1, [30000]))
-    local = batch if local_slice is None else {
-        k: v[local_slice] for k, v in batch.items()}
-    with mesh:
-        state_r = replicate(mesh, state)
-        metrics = None
-        for _ in range(steps):
-            state_r, metrics = step_fn(state_r, shard_batch(mesh, local))
-    host_state = jax.tree_util.tree_map(
-        lambda x: np.asarray(jax.device_get(x)), state_r,
-        is_leaf=lambda x: hasattr(x, "shape"))
-    snap_path = None
-    if snapshot_dir and jax.process_index() == 0:
-        snap_path, _ = ckpt.snapshot(snapshot_dir, "worker", host_state,
-                                     data_state={})
-    leaves = jax.tree_util.tree_leaves(jax.device_get(state_r.params))
-    checksum = float(sum(np.abs(np.asarray(x, np.float64)).sum()
-                         for x in leaves))
-    return ({k: float(v) for k, v in metrics.items()}, checksum,
-            int(jax.device_get(state_r.step)), snap_path)
+class Harness:
+    """Model + mesh + ONE step_fn, reusable across episodes.
+
+    Every episode shares the same program shapes, so building the step_fn
+    once means one XLA compile serves fresh-train, restore-continue and
+    train-then-snapshot — under gloo (no persistent compile cache, see
+    main()) the compile is the entire cost of a scenario, which is why the
+    suite runner exists (VERDICT r4 #6: per-spawn recompiles made
+    test_multihost.py a 43-minute file). The pytest parent's single-process
+    references still call run() per scenario; the parent is not under gloo,
+    so its persistent compile cache absorbs the retraces."""
+
+    def __init__(self, global_batch=8):
+        import jax
+
+        from tf_faster_rcnn_tpu.engine.train import (lr_schedule,
+                                                     make_train_step)
+        from tf_faster_rcnn_tpu.parallel.mesh import make_mesh
+
+        (self.spec, self.model, self.params,
+         self.batch) = tiny_setup(global_batch)
+        self.mesh = make_mesh()
+        self.step_fn = make_train_step(
+            self.model, self.spec, weight_decay=1e-4,
+            mobile_weight_decay=4e-5, donate=False,
+            lr_fn=lr_schedule(0.001, 0.1, [30000]))
+        self.key = jax.random.PRNGKey(3)
+
+    def episode(self, steps=2, local_slice=None, restore_path=None,
+                snapshot_dir=None):
+        """Fresh TrainState -> (restore?) -> steps -> (snapshot?); returns
+        (final metrics, param checksum, step, snapshot path).
+
+        With local_slice=None the whole global batch is fed from this
+        process (single-process mode); otherwise only the slice is fed and
+        shard_batch's multi-process path assembles the global array.
+        restore_path may come from a run with a DIFFERENT process count
+        (cross-process-count restore)."""
+        import jax
+        import numpy as np
+
+        from tf_faster_rcnn_tpu.engine.train import create_train_state
+        from tf_faster_rcnn_tpu.parallel.mesh import replicate, shard_batch
+        from tf_faster_rcnn_tpu.utils import checkpoint as ckpt
+
+        state = create_train_state(self.spec, self.params, self.key)
+        if restore_path:
+            state = ckpt.restore(state, restore_path)
+        local = self.batch if local_slice is None else {
+            k: v[local_slice] for k, v in self.batch.items()}
+        with self.mesh:
+            state_r = replicate(self.mesh, state)
+            metrics = None
+            for _ in range(steps):
+                state_r, metrics = self.step_fn(
+                    state_r, shard_batch(self.mesh, local))
+        host_state = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), state_r,
+            is_leaf=lambda x: hasattr(x, "shape"))
+        snap_path = None
+        if snapshot_dir and jax.process_index() == 0:
+            snap_path, _ = ckpt.snapshot(snapshot_dir, "worker", host_state,
+                                         data_state={})
+        leaves = jax.tree_util.tree_leaves(jax.device_get(state_r.params))
+        checksum = float(sum(np.abs(np.asarray(x, np.float64)).sum()
+                             for x in leaves))
+        return ({k: float(v) for k, v in metrics.items()}, checksum,
+                int(jax.device_get(state_r.step)), snap_path)
 
 
 def main():

