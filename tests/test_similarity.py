@@ -17,11 +17,11 @@ import pytest
 REFERENCE = "/root/reference"
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
-# Worst acceptable normalized similarity per file. mcg_munge is a ~40-line
-# protocol shim (path munging dictated by the MCG layout) and is allowed a
-# looser bound.
+# Worst acceptable normalized similarity per file. No exceptions left:
+# mcg_munge (the last one, a protocol shim once at 0.60) was re-derived as
+# a pathlib prefix-tree walk in round 5 and now measures 0.06.
 DEFAULT_MAX = 0.50
-PER_FILE_MAX = {"tools/mcg_munge.py": 0.60}
+PER_FILE_MAX = {}
 
 
 def _norm(path):
